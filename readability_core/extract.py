@@ -1,0 +1,133 @@
+"""End-to-end extraction: parse → preprocess → score → classify → render.
+
+Reimplements the reference's ``extract()`` lifecycle
+(/root/reference/src/extract/extract.ts:777-859) as a single pure function
+returning a flat dict — the exact record the Spark pandas UDF emits per
+turn.  Statelessness is the point: one HTML string in, one deterministic
+record out, no shared state between rows, so the Spark layer can batch it
+over Arrow with no ordering constraints.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Optional
+
+# the renderers recurse ~3 frames per DOM level; MAX_DOM_DEPTH (512) bounds
+# tree depth, so 16k frames is comfortably safe (pure-Python recursion does
+# not consume C stack in CPython 3.11+)
+if sys.getrecursionlimit() < 16_000:
+    sys.setrecursionlimit(16_000)
+
+from .classify import ARTICLE, OTHER, classify_page_type
+from .constants import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES
+from .metadata import (
+    extract_links,
+    get_article_byline,
+    get_article_lang,
+    get_article_site_name,
+    get_article_title,
+)
+from .preprocess import preprocess_document
+from .render import (
+    count_nodes,
+    extract_text_content,
+    format_document,
+    stringify,
+    to_html,
+    to_markdown,
+)
+from .scoring import find_main_candidates, is_probably_content
+from .vdom import VDocument, parse_html
+
+# Hard guard against adversarial/degenerate payloads: a single turn larger
+# than this is truncated before parse (bounds per-batch memory; the guard is
+# surfaced in the `error` field).  Mirrors the reference's documented
+# maxElemsToParse abort option (README.md:207-209) at the byte level.
+MAX_HTML_BYTES = 8 * 1024 * 1024
+
+
+def extract(html: Optional[str],
+            char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+            nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+            base_uri: str = "about:blank") -> dict[str, Any]:
+    """Extract main content + metadata from one HTML payload.
+
+    Returns a flat record (the Spark output struct):
+    page_type, title, byline, lang, site_name, extracted_text, extracted_md,
+    extracted_html, node_count, top_score, candidate_scores, n_candidates,
+    links, n_links, body_text_len, char_yield, span_start, span_end, error.
+    """
+    error = None
+    if html is None:
+        html = ""
+    if len(html) > MAX_HTML_BYTES:
+        html = html[:MAX_HTML_BYTES]
+        error = "truncated:max_html_bytes"
+
+    doc = parse_html(html, base_uri)
+    if doc.depth_capped:
+        error = (error + ";" if error else "") + "depth_capped:max_dom_depth"
+    preprocess_document(doc)
+
+    title = get_article_title(doc)
+    byline = get_article_byline(doc)
+    lang = get_article_lang(doc)
+    site_name = get_article_site_name(doc)
+
+    candidates = find_main_candidates(doc, nb_top_candidates)
+    candidate_scores = [float(c.score or 0.0) for c in candidates]
+
+    links = extract_links(doc)
+
+    page_type = classify_page_type(doc, candidates, char_threshold)
+
+    root = None
+    if page_type == ARTICLE and candidates:
+        top = candidates[0]
+        # skip the gate when charThreshold is low (extract.ts:826-832)
+        if char_threshold < 100 or is_probably_content(top):
+            root = top
+        else:
+            page_type = OTHER
+
+    node_count = count_nodes(root) if root is not None else 0
+    extracted_text = format_document(stringify(root)) if root is not None else ""
+    extracted_md = to_markdown(root) if root is not None else ""
+    extracted_html = to_html(root) if root is not None else ""
+
+    # span offsets of the extracted root's raw text within the full document
+    # raw text (post-preprocess), for the per-turn span-equality invariant
+    span_start = span_end = -1
+    if root is not None:
+        full_text = extract_text_content(doc.document_element)
+        root_text = extract_text_content(root)
+        if root_text:
+            idx = full_text.find(root_text)
+            if idx >= 0:
+                span_start = idx
+                span_end = idx + len(root_text)
+
+    body_text_len = len(extract_text_content(doc.body))
+
+    return {
+        "page_type": page_type,
+        "title": title or "",
+        "byline": byline,
+        "lang": lang,
+        "site_name": site_name,
+        "extracted_text": extracted_text,
+        "extracted_md": extracted_md,
+        "extracted_html": extracted_html,
+        "node_count": node_count,
+        "top_score": candidate_scores[0] if candidate_scores else 0.0,
+        "candidate_scores": candidate_scores,
+        "n_candidates": len(candidates),
+        "links": [{"href": l["href"], "text": l["text"]} for l in links],
+        "n_links": len(links),
+        "body_text_len": body_text_len,
+        "char_yield": len(extracted_text),
+        "span_start": span_start,
+        "span_end": span_end,
+        "error": error,
+    }

@@ -1,0 +1,397 @@
+"""Output projections: plain text, cleaned HTML, GFM markdown.
+
+Reimplements the reference's formatters:
+- ``stringify`` — tag-free text with block-element newlines
+  (/root/reference/src/format/format.ts:147-194)
+- ``to_html`` — HTML dropping span wrappers and class attributes
+  (format.ts:15-97)
+- ``to_markdown`` — full GFM converter: headings, emphasis, inline code with
+  backtick-run escaping, fenced code blocks with language classes,
+  blockquotes, nested lists, links (image-link collapse), images, hr/br and
+  pipe tables (/root/reference/src/format/markdown.ts:66-465)
+- ``format_document`` — newline collapse/trim (format.ts:203-209)
+- ``extract_text_content`` / ``count_nodes`` (format.ts:217-254)
+
+Whitespace joining rules are order-sensitive; they are ported exactly and
+covered by dedicated golden tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .dom import js_trim
+from .vdom import VElement, VNode
+
+# ---------------------------------------------------------------------------
+# plain text (stringify)
+# ---------------------------------------------------------------------------
+
+BLOCK_ELEMENTS = frozenset(
+    "address article aside blockquote details dialog dd div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr li "
+    "main nav ol p pre section table ul".split())
+
+_RE_NL2 = re.compile(r"\n{2,}")
+_RE_NL3 = re.compile(r"\n{3,}")
+
+
+def stringify(el: Optional[VElement]) -> str:
+    """format.ts:147-194 — readable plain text with block newlines."""
+    if el is None:
+        return ""
+    tag = el.tag
+    if tag == "br":
+        return "\n"
+    if tag == "hr":
+        return "\n----------\n"
+    is_block = tag in BLOCK_ELEMENTS
+    parts: list[str] = ["\n"] if is_block else []
+    for child in el.children:
+        if child.nodeType == "text":
+            text = js_trim(child.text)
+            if text:
+                parts.append(text + " ")
+        else:
+            parts.append(stringify(child))
+    result = "".join(parts)
+    if result.endswith(" "):
+        result = result[:-1]            # remove ONE trailing space
+    if is_block:
+        result += "\n"
+    return _RE_NL2.sub("\n", result)
+
+
+def format_document(text: str) -> str:
+    """format.ts:203-209."""
+    text = _RE_NL2.sub("\n", text)
+    text = re.sub(r"^\n+", "", text)
+    text = re.sub(r"\n+$", "", text)
+    return text.strip()
+
+
+def extract_text_content(el: Optional[VElement]) -> str:
+    """format.ts:217-229 — raw subtree text concat, no normalization."""
+    if el is None:
+        return ""
+    out: list[str] = []
+    stack: list[VNode] = list(reversed(el.children))
+    while stack:
+        node = stack.pop()
+        if node.nodeType == "text":
+            out.append(node.text)
+        else:
+            stack.extend(reversed(node.children))
+    return "".join(out)
+
+
+def count_nodes(el: Optional[VElement]) -> int:
+    """format.ts:237-254 — elements + text nodes, self-inclusive."""
+    if el is None:
+        return 0
+    count = 0
+    stack: list[VNode] = [el]
+    while stack:
+        node = stack.pop()
+        count += 1
+        if node.nodeType == "element":
+            stack.extend(node.children)
+    return count
+
+
+# ---------------------------------------------------------------------------
+# HTML (span/class-dropping serializer)
+# ---------------------------------------------------------------------------
+
+_SELF_CLOSING = frozenset(
+    "area base br col embed hr img input link meta param source track "
+    "wbr".split())
+
+
+def _escape_html(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#039;")
+    )
+
+
+def to_html(el: Optional[VElement]) -> str:
+    """format.ts:15-97 — omit <span> wrappers and class attributes."""
+    if el is None:
+        return ""
+    tag = el.tag
+    if tag == "span":
+        return "".join(
+            _escape_html(c.text) if c.nodeType == "text" else to_html(c)
+            for c in el.children
+        )
+    attrs = " ".join(
+        f'{k}="{_escape_html(v)}"' for k, v in el.attrs.items() if k != "class"
+    )
+    if tag in _SELF_CLOSING and not el.children:
+        return f"<{tag} {attrs}/>" if attrs else f"<{tag}/>"
+    start = f"<{tag} {attrs}>" if attrs else f"<{tag}>"
+    inner = "".join(
+        _escape_html(c.text) if c.nodeType == "text" else to_html(c)
+        for c in el.children
+    )
+    return f"{start}{inner}</{tag}>"
+
+
+# ---------------------------------------------------------------------------
+# Markdown (GFM)
+# ---------------------------------------------------------------------------
+
+_MD_BLOCK = frozenset(
+    ["p", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "pre",
+     "blockquote", "hr", "table", "div"])
+_MD_IGNORED = frozenset(
+    ["script", "style", "nav", "aside", "header", "footer", "form", "button",
+     "iframe", "object", "embed", "applet", "link", "meta", "title", "svg"])
+_RE_MD_ESCAPE = re.compile(r"([*_`\[\]\\])")
+_RE_SPACE_TAB = re.compile(r"[ \t]+")
+_RE_WS_END = re.compile(r"\s$")
+_RE_WS_START = re.compile(r"^\s")
+_PUNCT_NO_SPACE = frozenset(".,!?;:)")
+
+
+def _escape_markdown(text: str) -> str:
+    """markdown.ts:9-20 — decode residual entities, escape md specials."""
+    decoded = (
+        text.replace("&amp;", "&")
+        .replace("&lt;", "<")
+        .replace("&gt;", ">")
+        .replace("&quot;", '"')
+        .replace("&#039;", "'")
+        .replace("&nbsp;", " ")
+    )
+    return _RE_MD_ESCAPE.sub(r"\\\1", decoded)
+
+
+def _join_md_parts(parts: list[str]) -> str:
+    """markdown.ts:27-56 — smart inline spacing."""
+    result = ""
+    for part in parts:
+        if not part or part.strip() == "":
+            continue
+        if result == "":
+            result = part
+        else:
+            if not _RE_WS_END.search(result) and not _RE_WS_START.search(part):
+                if part[0] not in _PUNCT_NO_SPACE:
+                    result += " "
+            result += part
+    return result
+
+
+def _all_text_content(node: VNode) -> str:
+    if node.nodeType == "text":
+        return node.text
+    return "".join(_all_text_content(c) for c in node.children)
+
+
+def _convert_node(node: VNode, parent_tag: Optional[str] = None,
+                  depth: int = 0) -> str:
+    """markdown.ts:66-438."""
+    if node.nodeType == "text":
+        if parent_tag in ("pre", "code"):
+            return node.text
+        text = _RE_SPACE_TAB.sub(" ", node.text)
+        if not text:
+            return ""
+        return _escape_markdown(text)
+
+    el = node
+    tag = el.tag
+    is_block = tag in _MD_BLOCK
+
+    child_depth = depth + 1 if tag in ("ul", "ol", "blockquote") else depth
+    children_results = [
+        _convert_node(c, tag, child_depth) for c in el.children
+    ]
+    children_md = _join_md_parts(children_results)
+    trimmed = children_md.strip()
+
+    if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        return f"{'#' * int(tag[1])} {trimmed}\n\n"
+
+    if tag == "p":
+        return f"{trimmed}\n\n" if trimmed else ""
+
+    if tag in ("strong", "b"):
+        return f"**{children_md}**"
+    if tag in ("em", "i"):
+        return f"*{children_md}*"
+
+    if tag == "code":
+        if parent_tag != "pre":
+            content = children_md
+            runs = re.findall(r"`+", content)
+            longest = max((len(r) for r in runs), default=0)
+            delim = "`" * (longest + 1)
+            if re.fullmatch(r"`+", content) and len(content) >= len(delim):
+                delim = "`" * (len(content) + 1)
+            needs_pad = (
+                content.startswith("`") or content.endswith("`")
+                or bool(re.fullmatch(r"`+", content))
+                or not content.strip()
+            )
+            final = f" {content} " if needs_pad else content
+            return f"{delim}{final}{delim}"
+        return children_md
+
+    if tag == "pre":
+        code_child = next(
+            (c for c in el.children
+             if c.nodeType == "element" and c.tag == "code"), None)
+        raw = _all_text_content(code_child if code_child is not None else el)
+        lang = ""
+        cls = code_child.attrs.get("class", "") if code_child is not None else ""
+        m = re.search(r"language-([a-zA-Z0-9_-]+)", cls)
+        if m:
+            lang = m.group(1)
+        cleaned = re.sub(r"^\s*\n|\s+$", "", raw)
+        if lang in ("markdown", "md"):
+            return f"````{lang}\n{cleaned}\n````"
+        return f"```{lang}\n{cleaned}\n```"
+
+    if tag == "blockquote":
+        content = children_md.strip()
+        if not content:
+            return ""
+        quoted = [
+            ">" if line.strip() == "" else f"> {line}"
+            for line in content.split("\n")
+        ]
+        return "\n".join(quoted) + "\n\n"
+
+    if tag in ("ul", "ol"):
+        items = [
+            _convert_node(c, tag, depth + 1)
+            for c in el.children
+            if c.nodeType == "element" and c.tag == "li"
+        ]
+        items = [it for it in items if it.strip() != ""]
+        if not items:
+            return ""
+        list_content = "\n".join(items)
+        indent = "  " * max(0, depth - 1)
+        if indent:
+            list_content = "\n".join(
+                f"{indent}{line}" if line.strip() else line
+                for line in list_content.split("\n")
+            )
+        return list_content + "\n\n"
+
+    if tag == "li":
+        marker = "1." if parent_tag == "ol" else "-"
+        main_parts: list[str] = []
+        nested_parts: list[str] = []
+        for c in el.children:
+            if c.nodeType == "element" and c.tag in ("ul", "ol"):
+                nested = _convert_node(c, tag, depth + 1)
+                if nested:
+                    nested_parts.append(re.sub(r"\n+$", "", nested))
+            else:
+                main_parts.append(_convert_node(c, tag, depth))
+        main_content = _join_md_parts(main_parts).strip()
+        result = f"{marker} {main_content}"
+        if nested_parts:
+            if main_content:
+                result += "\n"
+            result += "\n".join(nested_parts)
+        return result
+
+    if tag == "a":
+        href = el.attrs.get("href", "")
+        link_content = re.sub(r"\n+", " ", children_md).strip()
+        if (len(el.children) == 1 and el.children[0].nodeType == "element"
+                and el.children[0].tag == "img"):
+            img = el.children[0]
+            alt = img.attrs.get("alt", "")
+            src = img.attrs.get("src", "")
+            display = alt if alt.strip() else src
+            return f"[{display}]({href})"
+        return f"[{link_content}]({href})"
+
+    if tag == "img":
+        alt = _escape_markdown(el.attrs.get("alt", ""))
+        src = el.attrs.get("src", "")
+        title_attr = el.attrs.get("title")
+        title = f' "{_escape_markdown(title_attr)}"' if title_attr else ""
+        if parent_tag == "a":
+            return alt if alt.strip() else src
+        return f"![{alt}]({src}{title})"
+
+    if tag == "hr":
+        return "---\n\n"
+    if tag == "br":
+        return "  \n"
+
+    if tag == "table":
+        header_row: list[str] = []
+        body_rows: list[list[str]] = []
+        max_cols = 0
+
+        def find_child(parent: VElement, name: str) -> Optional[VElement]:
+            return next(
+                (c for c in parent.children
+                 if c.nodeType == "element" and c.tag == name), None)
+
+        def process_cell(cell: VElement) -> str:
+            return _convert_node(cell, cell.tag, depth + 1).strip()
+
+        thead = find_child(el, "thead")
+        tbody = find_child(el, "tbody")
+        if thead is not None:
+            header_tr = find_child(thead, "tr")
+            if header_tr is not None:
+                header_row = [
+                    process_cell(c) for c in header_tr.children
+                    if c.nodeType == "element" and c.tag == "th"
+                ]
+                max_cols = max(max_cols, len(header_row))
+        rows_container = tbody if tbody is not None else el
+        for tr in rows_container.children:
+            if tr.nodeType == "element" and tr.tag == "tr":
+                row = [
+                    process_cell(c) for c in tr.children
+                    if c.nodeType == "element" and c.tag in ("td", "th")
+                ]
+                body_rows.append(row)
+                max_cols = max(max_cols, len(row))
+
+        table_md = ""
+        separator = " | ".join(["---"] * max_cols)
+        if header_row:
+            header_row += [""] * (max_cols - len(header_row))
+            table_md += f"| {' | '.join(header_row)} |\n"
+            table_md += f"| {separator} |\n"
+        elif body_rows and max_cols > 0:
+            table_md += f"| {separator} |\n"
+        for row in body_rows:
+            row += [""] * (max_cols - len(row))
+            table_md += f"| {' | '.join(row)} |\n"
+        return f"{table_md.strip()}\n\n" if table_md else ""
+
+    if tag in _MD_IGNORED:
+        return ""
+
+    # default: block-like → trim + spacing; otherwise inline passthrough
+    if is_block:
+        return f"{trimmed}\n\n" if trimmed else ""
+    return children_md
+
+
+def to_markdown(el: Optional[VElement]) -> str:
+    """markdown.ts:445-465."""
+    if el is None:
+        return ""
+    md = _convert_node(el, None, 0)
+    md = md.strip()
+    return _RE_NL3.sub("\n\n", md)
