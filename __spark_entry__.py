@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction job over sf0.001 (smoke check).
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops); each callable (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB ANSI-SQL oracle per query (omitted only for the
+                 genuinely non-SQL-expressible UDF/mapInPandas ops, which the
+                 driver then checks rows-only).
 """
 
 from __future__ import annotations
@@ -12,27 +13,89 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-turn main-content extraction over transcript turns
+    synthesized from sf0.001 documents (HTML-wrapped), with salting,
+    repartition, and the full extraction struct — the SURVEY.md §3.1 job."""
+    from readability_spark.pipeline import run_extraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = docs.select(
+        F.concat(F.lit("conv_"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.expr(
+            "concat('<html lang=\"', lang, '\"><head><title>Doc ', doc_id, "
+            "'</title></head><body><article><p>', text, "
+            "'</p></article></body></html>')").alias("text"),
+    )
+    out = run_extraction(transcripts, num_buckets=8)
+    return out.select("conv_id", "turn_idx", "bucket_id", "page_type",
+                      "title", "lang", "extracted_text", "char_yield",
+                      "node_count", "span_start", "span_end")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from readability_spark.ops import dedup, multimodal, relational
+    from readability_spark.ops import similarity, textstats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (pandas-UDF core) with closed-form SQL oracles
+        "extract_articles": relational.extract_articles,
+        "extract_linkfarms": relational.extract_linkfarms,
+        "extract_metadata": relational.extract_metadata,
+        # relational mirrors of reference operators
+        "topk_per_group": relational.topk_per_group,
+        "score_propagation": relational.score_propagation,
+        "first_event_per_user": relational.first_event_per_user,
+        "class_weight": relational.class_weight,
+        "users_without_errors": relational.users_without_errors,
+        "sessionize": relational.sessionize,
+        # deduplication family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_simhash": dedup.simhash,
+        "dedup_minhash": dedup.minhash_signatures,
+        "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_lsh_topk": similarity.lsh_cosine_topk,        # rows-only
+        # text analysis
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "token_counts": textstats.token_counts,
+        "doc_fingerprint": textstats.fingerprint,
+        # multimodal plumbing (mapInPandas; rows-only)
+        "media_features": multimodal.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from readability_spark.ops import dedup, relational, similarity, textstats
+
+    return {
+        "extract_articles": relational.EXTRACT_ARTICLES_SQL,
+        "extract_linkfarms": relational.EXTRACT_LINKFARMS_SQL,
+        "extract_metadata": relational.EXTRACT_METADATA_SQL,
+        "topk_per_group": relational.TOPK_SQL,
+        "score_propagation": relational.SCORE_PROPAGATION_SQL,
+        "first_event_per_user": relational.FIRST_EVENT_SQL,
+        "class_weight": relational.CLASS_WEIGHT_SQL,
+        "users_without_errors": relational.USERS_WITHOUT_ERRORS_SQL,
+        "sessionize": relational.SESSIONIZE_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_minhash": dedup.MINHASH_SQL,
+        "dedup_lsh_pairs": dedup.LSH_PAIRS_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "quality_score": textstats.QUALITY_SQL,
+        "token_counts": textstats.TOKEN_COUNTS_SQL,
+        "doc_fingerprint": textstats.FINGERPRINT_SQL,
+        # ann_lsh_topk, media_features: no SQL analogue (rows-only check)
+    }

@@ -1,0 +1,56 @@
+"""Shared helpers for the relational/training-data operators.
+
+Every operator here has two faces:
+- a Spark DataFrame implementation (built-in functions only — JVM-side,
+  whole-stage codegen, no Python in the hot path), and
+- an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+
+Hashing is the cross-engine pivot: both engines share ``md5`` byte-for-byte,
+so every hash-derived value (simhash bits, minhash integers, fingerprints)
+is defined in terms of md5 hex digits and reproduced exactly in both
+dialects.  Engine-specific hashes (xxhash64, DuckDB ``hash``) are never used
+in oracled queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- tokenization (identical semantics in both dialects) --------------------
+
+def tokens_col(text_col: str = "text"):
+    """Non-empty whitespace tokens of lower(trim(text)) as array<string>."""
+    return F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+
+
+SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'),"
+              " x -> x <> '')")
+
+
+# --- md5-derived integers -----------------------------------------------------
+
+def md5_prefix_int_expr(col: str, nhex: int = 8) -> str:
+    """Spark SQL: first ``nhex`` hex digits of md5(col) as a bigint.
+
+    Written with instr() arithmetic (not conv()) so the DuckDB mirror is
+    literally the same expression.
+    """
+    terms = " + ".join(
+        f"(instr('{HEX}', substr(md5({col}), {k}, 1)) - 1) * "
+        f"CAST({16 ** (nhex - k)} AS BIGINT)"
+        for k in range(1, nhex + 1))
+    return f"({terms})"
+
+
+def md5_prefix_int_sql(col: str, nhex: int = 8) -> str:
+    """DuckDB mirror of md5_prefix_int_expr (identical by construction)."""
+    return md5_prefix_int_expr(col, nhex)

@@ -1,0 +1,361 @@
+"""Relational mirrors of the reference's operators + extraction queries with
+exact SQL oracles.
+
+The extraction engine itself is UDF-shaped, so to give the correctness gate
+full SQL oracles we wrap ``documents.text`` in deterministically constructed
+HTML *inside the query* and predict the extractor's output in closed form
+(possible because the classify cascade and stringify are deterministic
+functions of text length / link counts — see readability_core.classify).
+
+The remaining queries are the Spark mappings SURVEY.md §2 assigns to the
+reference's non-UDF ops: per-group top-k (top-5 candidates →
+extract.ts:432-442), grouped score propagation with level dividers
+(extract.ts:365-378), first-match coalesce reductions (metadata,
+extract.ts:488-616), regex class weighting (extract.ts:294-318), anti-join
+resume (north rule lineage), and sessionization (gap-based windows —
+detect/document.ts's stack fold relational analogue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import table
+
+# --- extraction with closed-form SQL oracle ----------------------------------
+
+_ARTICLE_WRAP = (
+    "concat('<html lang=\"en\"><head><title>Doc ', doc_id, "
+    "'</title></head><body><article><p>', text, "
+    "'</p></article></body></html>')"
+)
+
+
+def extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document as a single-<article> page and extract.
+
+    Closed form: single <article> → semantic shortcut candidate
+    (extract.ts:329-336); link density 0 → classify rule 5 fires at
+    text ≥ 140 (extract.ts:701); the gate passes at the same bound; the
+    extracted text of one <p> is the trimmed, whitespace-collapsed text.
+    """
+    from ..udfs import extract_udf
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_ARTICLE_WRAP).alias("html"))
+        .withColumn("x", extract_udf(F.col("html")))
+        .select(
+            "doc_id",
+            F.col("x.page_type").alias("page_type"),
+            F.col("x.title").alias("title"),
+            F.col("x.extracted_text").alias("extracted_text"),
+            F.col("x.char_yield").alias("char_yield"),
+            F.col("x.n_links").alias("n_links"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_ARTICLES_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\s{2,}', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) >= 140 THEN 'article' ELSE 'other' END
+         AS page_type,
+       'Doc ' || doc_id AS title,
+       CASE WHEN length(norm) >= 140 THEN norm ELSE '' END AS extracted_text,
+       CASE WHEN length(norm) >= 140 THEN length(norm) ELSE 0 END
+         AS char_yield,
+       0 AS n_links
+FROM n ORDER BY doc_id
+"""
+
+_LINK_BLOCK = "<a href=\"/x\">some link text here</a>"
+_N_LINKS = 40
+_LINK_CHARS = len("some link text here") * _N_LINKS      # 760
+
+
+def extract_linkfarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document in a <main> with 40 appended links and extract.
+
+    Closed form: single <main> → semantic candidate; innertext length is
+    L + 760 (link texts concatenate with no separator); link density
+    760/(L+760); the cascade yields ARTICLE iff density ≤ 0.5 ⇔ L ≥ 760
+    (classify rules 1/2/5 all gate on density; rule 4 can't fire since body
+    text ≥ 760 > 1.5·500).
+    """
+    from ..udfs import extract_udf
+
+    docs = table(spark, sf_dir, "documents")
+    wrap = (
+        "concat('<html><body><main><p>', text, '</p>', "
+        f"repeat('{_LINK_BLOCK}', {_N_LINKS}), '</main></body></html>')"
+    )
+    return (
+        docs.select("doc_id", F.expr(wrap).alias("html"))
+        .withColumn("x", extract_udf(F.col("html")))
+        .select("doc_id",
+                F.col("x.page_type").alias("page_type"),
+                F.col("x.n_links").alias("n_links"))
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_LINKFARMS_SQL = rf"""
+WITH n AS (
+  SELECT doc_id,
+         length(regexp_replace(trim(text), '\s{{2,}}', ' ', 'g')) AS L
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN L >= {_LINK_CHARS} THEN 'article' ELSE 'other' END
+         AS page_type,
+       {_N_LINKS} AS n_links
+FROM n ORDER BY doc_id
+"""
+
+
+def extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata reductions: og:site_name / html lang / title coalesce
+    (extract.ts:488-589) — inputs reconstructed exactly by the oracle."""
+    from ..udfs import extract_udf
+
+    docs = table(spark, sf_dir, "documents")
+    wrap = (
+        "concat('<html lang=\"', lang, '\"><head><title>T', doc_id, "
+        "'</title><meta property=\"og:site_name\" content=\"', source, "
+        "'\"></head><body><p>', text, '</p></body></html>')"
+    )
+    return (
+        docs.select("doc_id", F.expr(wrap).alias("html"))
+        .withColumn("x", extract_udf(F.col("html")))
+        .select("doc_id",
+                F.col("x.title").alias("title"),
+                F.col("x.lang").alias("lang"),
+                F.col("x.site_name").alias("site_name"))
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_METADATA_SQL = """
+SELECT doc_id,
+       'T' || doc_id AS title,
+       lang,
+       source AS site_name
+FROM documents ORDER BY doc_id
+"""
+
+# --- per-group top-k (window) --------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per order by extendedprice — the row_number window
+    that implements the reference's top-5 candidate selection."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "rank", "l_linenumber",
+                F.col("l_extendedprice").alias("price"))
+        .orderBy("l_orderkey", "rank")
+    )
+
+
+TOPK_SQL = """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC,
+                                     l_linenumber ASC) AS rank
+  FROM lineitem
+)
+SELECT l_orderkey, rank, l_linenumber, l_extendedprice AS price
+FROM r WHERE rank <= 3 ORDER BY l_orderkey, rank
+"""
+
+# --- grouped score propagation --------------------------------------------------
+
+def score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor score propagation as a relational job: each lineitem's
+    revenue flows to its 3 "ancestors" (order ÷1, customer ÷2, nation ÷6 —
+    the reference's level dividers, extract.ts:374) and is hash-aggregated
+    per ancestor.  Joins: orders is mid-size (shuffle), customer→nation is
+    small (broadcast)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") *
+                       (1 - F.col("l_discount"))).alias("rev"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    levels = [
+        ("order", F.col("o_orderkey"), 1),
+        ("customer", F.col("o_custkey"), 2),
+        ("nation", F.col("c_nationkey"), 6),
+    ]
+    parts = [
+        j.select(F.lit(kind).alias("ancestor_kind"),
+                 key.cast("long").alias("ancestor_id"),
+                 # per-row floor to integer cents BEFORE aggregation: integer
+                 # sums are associative, so the result is bit-identical no
+                 # matter how partial aggregation orders the adds
+                 F.floor(F.col("rev") * 100 / div).cast("long")
+                 .alias("contrib_cents"))
+        for kind, key, div in levels
+    ]
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return (
+        u.groupBy("ancestor_kind", "ancestor_id")
+        .agg(F.sum("contrib_cents").alias("score_cents"))
+        .orderBy("ancestor_kind", "ancestor_id")
+    )
+
+
+SCORE_PROPAGATION_SQL = """
+WITH j AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), u AS (
+  SELECT 'order' AS ancestor_kind, CAST(o_orderkey AS BIGINT) AS ancestor_id,
+         CAST(floor(rev * 100 / 1) AS BIGINT) AS contrib_cents FROM j
+  UNION ALL
+  SELECT 'customer', CAST(o_custkey AS BIGINT),
+         CAST(floor(rev * 100 / 2) AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'nation', CAST(c_nationkey AS BIGINT),
+         CAST(floor(rev * 100 / 6) AS BIGINT) FROM j
+)
+SELECT ancestor_kind, ancestor_id,
+       CAST(sum(contrib_cents) AS BIGINT) AS score_cents
+FROM u GROUP BY 1, 2 ORDER BY ancestor_kind, ancestor_id
+"""
+
+# --- first-match coalesce (metadata-style reduction) -----------------------------
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by reduction — the relational form of the reference's
+    priority-coalesce metadata scans."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min_by(F.struct("ts", "event_id", "event_type"), "event_id")
+             .alias("first"))
+        .select("user_id",
+                F.col("first.event_type").alias("first_event_type"),
+                F.col("first.event_id").alias("first_event_id"))
+        .orderBy("user_id")
+    )
+
+
+FIRST_EVENT_SQL = """
+SELECT user_id,
+       min_by(event_type, event_id) AS first_event_type,
+       min(event_id) AS first_event_id
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+# --- regex class weighting --------------------------------------------------------
+
+_POS_RE = "article|body|content|entry|main|page|post|text|blog|story"
+_NEG_RE = "banner|comment|contact|footer|media|promo|related|share|sidebar|sponsor|shopping|tags|widget"
+
+
+def class_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±25 regex weighting (getClassWeight, extract.ts:294-318) applied to
+    document text as a columnar expression."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.expr(f"lower(text) rlike '{_NEG_RE}'"), -25).otherwise(0)
+        + F.when(F.expr(f"lower(text) rlike '{_POS_RE}'"), 25).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", w.alias("class_weight"))
+        .orderBy("doc_id")
+    )
+
+
+CLASS_WEIGHT_SQL = f"""
+SELECT doc_id,
+       (CASE WHEN regexp_matches(lower(text), '{_NEG_RE}') THEN -25 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lower(text), '{_POS_RE}') THEN 25 ELSE 0 END)
+       AS class_weight
+FROM documents ORDER BY doc_id
+"""
+
+# --- anti-join (resume) -------------------------------------------------------------
+
+def users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the lineage-resume primitive (re-run only buckets
+    without an ok row)."""
+    ev = table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error") \
+        .select("user_id").distinct()
+    return (
+        ev.select("user_id").distinct()
+        .join(errs, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+USERS_WITHOUT_ERRORS_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events WHERE event_type = 'error')
+ORDER BY user_id
+"""
+
+# --- sessionization (gap-based windows) ------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + running sum — the window-function
+    analogue of the reference's stack-based section fold
+    (detect/document.ts:91-141)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") -
+           F.unix_timestamp(F.lag("ts").over(w)))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_no", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_no
+"""

@@ -1,0 +1,163 @@
+"""Extraction pipeline: salting, repartition, lineage metrics, resume.
+
+Implements the north rule's scale requirements explicitly:
+
+- **Skew**: conversation lengths are Zipf-ish — a few conv_ids carry 10^3+
+  turns.  Extraction is per-turn (embarrassingly parallel), so we salt on
+  ``hash(conv_id, turn_idx)`` and repartition BEFORE the extraction stage;
+  ordering is restored by (conv_id, turn_idx) only where a consumer needs it.
+- **Lineage / checkpoint-resume**: every output row carries its bucket_id;
+  a per-bucket metrics table (row counts, article counts, score/yield sums,
+  conv_id range, status) is derived from the output and written next to it.
+  ``resume_filter`` anti-joins the input against buckets already marked ok,
+  so a re-run reprocesses only failed/missing buckets.
+- **AQE** handles post-shuffle coalescing and runtime skew splits on top.
+
+At 100 TB the same code holds: bucket count scales with cluster cores
+(4 buckets/core keeps task size uniform), the UDF is Arrow-batched with a
+bounded per-batch record count, and the only shuffle in the job is the one
+explicit salt repartition (the metrics groupBy aggregates partially map-side
+on a small column set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import METRICS_SCHEMA
+from .udfs import extract_udf, make_extract_udf
+
+DEFAULT_ARROW_BATCH = 1024  # rows/batch; ~50KB HTML payloads → ~50MB batches
+
+
+def build_session(app_name: str = "readability-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  arrow_batch: int = DEFAULT_ARROW_BATCH) -> SparkSession:
+    """Session with the configs the pipeline relies on (AQE + Arrow)."""
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch))
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def n_buckets_for(spark: SparkSession, factor: int = 4) -> int:
+    """Salt-bucket count: ~4× parallelism keeps tasks uniform under skew."""
+    return max(1, spark.sparkContext.defaultParallelism * factor)
+
+
+def salt_and_partition(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Add bucket_id = pmod(xxhash64(conv_id, turn_idx), N) and repartition.
+
+    Salting on (conv_id, turn_idx) — not conv_id alone — is what breaks the
+    long-conversation skew the north rule calls out; it is safe because
+    extraction is stateless per turn.
+    """
+    df = df.withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(num_buckets))
+        .cast("int"))
+    return df.repartition(num_buckets, "bucket_id")
+
+
+def run_extraction(df: DataFrame, num_buckets: int | None = None,
+                   char_threshold: int = 500) -> DataFrame:
+    """transcripts → per-turn extraction results (flat columns).
+
+    Physical plan: Scan → Project(conv_id, turn_idx, role, text) →
+    Exchange(hash bucket_id) → ArrowEvalPython(extract_udf) → Project.
+    One shuffle total; the scan only reads the 4 needed columns.
+    """
+    if num_buckets is None:
+        num_buckets = n_buckets_for(df.sparkSession)
+    udf = extract_udf if char_threshold == 500 else make_extract_udf(char_threshold)
+    cols = [c for c in ("conv_id", "turn_idx", "role") if c in df.columns]
+    salted = salt_and_partition(df.select(*cols, "text"), num_buckets)
+    out = salted.withColumn("x", udf(F.col("text"))).select(
+        *cols, "bucket_id", "x.*")
+    return out
+
+
+def derive_metrics(results: DataFrame, attempt: int = 1) -> DataFrame:
+    """Per-bucket lineage/metrics rows (aggregates only small columns —
+    partial aggregation happens map-side before the tiny final shuffle)."""
+    return (
+        results.groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("page_type") == "article", 1).otherwise(0))
+            .alias("n_articles"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("n_errors"),
+            F.sum("node_count").alias("sum_node_count"),
+            F.sum("char_yield").alias("sum_char_yield"),
+            F.avg("top_score").alias("avg_top_score"),
+            F.min("conv_id").alias("conv_id_min"),
+            F.max("conv_id").alias("conv_id_max"),
+        )
+        .withColumn("status", F.lit("ok"))
+        .withColumn("attempt", F.lit(attempt))
+    )
+
+
+def resume_filter(df: DataFrame, metrics: DataFrame,
+                  num_buckets: int) -> DataFrame:
+    """Keep only turns whose bucket has no status='ok' lineage row.
+
+    The metrics side is tiny (one row per bucket) → broadcast anti-join;
+    no shuffle of the big side beyond the salt repartition it needs anyway.
+    """
+    done = metrics.filter(F.col("status") == "ok").select("bucket_id").distinct()
+    salted = df.withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(num_buckets))
+        .cast("int"))
+    return salted.join(F.broadcast(done), "bucket_id", "left_anti")
+
+
+def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
+                 metrics_path: str, num_buckets: int | None = None,
+                 char_threshold: int = 500, fmt: str = "parquet",
+                 resume: bool = True) -> dict:
+    """Full job: read → (resume anti-join) → salt → extract → write + metrics.
+
+    ``fmt`` is "parquet" here; on an Iceberg-catalog cluster pass
+    ``fmt='iceberg'`` and table identifiers instead of paths — the plan is
+    identical, Iceberg adds hidden-partition pruning on bucket(conv_id).
+    """
+    df = spark.read.format(fmt).load(input_path)
+    if num_buckets is None:
+        num_buckets = n_buckets_for(spark)
+
+    if resume:
+        try:
+            metrics_prev = spark.read.format(fmt).load(metrics_path)
+            df = resume_filter(df, metrics_prev, num_buckets).drop("bucket_id")
+            attempt = int(
+                metrics_prev.agg(F.max("attempt")).first()[0] or 0) + 1
+        except Exception:
+            attempt = 1
+    else:
+        attempt = 1
+
+    results = run_extraction(df, num_buckets, char_threshold)
+    results.write.format(fmt).mode("append").save(output_path)
+
+    written = spark.read.format(fmt).load(output_path)
+    metrics = derive_metrics(
+        written.select("bucket_id", "page_type", "error", "node_count",
+                       "char_yield", "top_score", "conv_id"), attempt)
+    metrics.write.format(fmt).mode("overwrite").save(metrics_path)
+    n = written.count()
+    return {"rows": n, "attempt": attempt, "num_buckets": num_buckets}

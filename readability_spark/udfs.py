@@ -1,0 +1,117 @@
+"""Arrow-batched pandas UDFs wrapping the pure-Python core.
+
+Design (SURVEY.md §3.1 "Spark shape"): the whole reference lifecycle —
+parse → preprocess → metadata → candidates → classify → render
+(/root/reference/src/extract/extract.ts:777-859) — collapses into ONE
+scalar pandas UDF applied per Arrow batch.  There is no per-row Python at
+the Spark level: the JVM transfers one Arrow batch (~1-4k rows), Python maps
+the pure function over it, one Arrow batch comes back.  The extraction
+itself is per-document by nature; the vectorization win is batch-level
+amortization of the JVM↔Python boundary, not SIMD.
+
+``explode_nodes`` materializes the serializer's flat adjacency encoding
+(/root/reference/src/serializer.ts:25-43) as a relational node table for
+SQL users (candidate scoring / link stats become ordinary groupBys there).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from readability_core import extract as _extract_one
+from readability_core.preprocess import preprocess_document
+from readability_core.vdom import parse_html
+
+from .schema import EXTRACT_SCHEMA, NODE_SCHEMA
+
+_FIELDS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+def _extract_record(html, char_threshold: int = 500) -> dict:
+    try:
+        rec = _extract_one(html, char_threshold=char_threshold)
+        return {k: rec[k] for k in _FIELDS}
+    except Exception as exc:  # never fail the batch for one bad row
+        rec = {k: None for k in _FIELDS}
+        rec.update(page_type="other", title="", extracted_text="",
+                   extracted_md="", extracted_html="", node_count=0,
+                   top_score=0.0, candidate_scores=[], n_candidates=0,
+                   links=[], n_links=0, body_text_len=0, char_yield=0,
+                   span_start=-1, span_end=-1,
+                   error=f"exception:{type(exc).__name__}")
+        return rec
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(texts: pd.Series) -> pd.DataFrame:
+    """Scalar pandas UDF: HTML series → extraction struct (one per turn)."""
+    records = [_extract_record(t) for t in texts]
+    return pd.DataFrame(records, columns=_FIELDS)
+
+
+def make_extract_udf(char_threshold: int = 500):
+    """extract_udf with a non-default charThreshold (job parameter —
+    reference defaults differ by entry point: 500 lib / 250 CLI / 100 MCP,
+    src/constants.ts:15, cli.js:168, src/mcp-server.ts:27)."""
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_extract_record(t, char_threshold) for t in texts],
+            columns=_FIELDS)
+
+    return _udf
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Expose the engine to SQL users (SURVEY.md §2.13 UDF surface)."""
+    spark.udf.register("readability_extract", extract_udf)
+
+
+# --- node-table explosion ----------------------------------------------------
+
+_NODE_FIELDS = [f.name for f in NODE_SCHEMA.fields]
+
+
+def _doc_to_rows(conv_id, turn_idx, html) -> list:
+    doc = parse_html(html if isinstance(html, str) else "")
+    preprocess_document(doc)
+    rows = []
+    # iterative DFS assigning pre-order ids = document order
+    stack = [(doc.document_element, -1, 0)]
+    next_id = 0
+    while stack:
+        node, parent_id, depth = stack.pop()
+        nid = next_id
+        next_id += 1
+        if node.nodeType == "text":
+            rows.append((conv_id, turn_idx, nid, parent_id, "text", None,
+                         None, node.text, depth, nid))
+        else:
+            rows.append((conv_id, turn_idx, nid, parent_id, "element",
+                         node.tag, dict(node.attrs), None, depth, nid))
+            stack.extend((c, nid, depth + 1) for c in reversed(node.children))
+    return rows
+
+
+def explode_nodes(df: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text) → flat node table via mapInPandas.
+
+    The per-document tree never crosses the JVM boundary; only the flat
+    adjacency rows do.  Pre-order ``node_id`` doubles as document order.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                out.extend(_doc_to_rows(conv_id, int(turn_idx), text))
+            yield pd.DataFrame(out, columns=_NODE_FIELDS)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, schema=NODE_SCHEMA)

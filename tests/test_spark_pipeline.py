@@ -1,0 +1,127 @@
+"""Spark-layer tests: UDF ≡ plain function (the per-turn invariant),
+salting/partitioning, lineage metrics, resume anti-join, node explosion."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from readability_core import extract as plain_extract
+from readability_spark import (
+    derive_metrics,
+    explode_nodes,
+    extract_udf,
+    resume_filter,
+    run_extraction,
+    salt_and_partition,
+)
+from readability_spark.transcripts import generate_rows, generate_transcripts
+
+BASE = "/root/reference/test/test-pages"
+
+
+@pytest.fixture(scope="module")
+def fixture_turns(spark):
+    """All 128 fixture pages wrapped as transcript turns."""
+    rows = []
+    for i, case in enumerate(sorted(os.listdir(BASE))):
+        p = os.path.join(BASE, case, "source.html")
+        if os.path.exists(p):
+            html = open(p, encoding="utf-8", errors="replace").read()
+            rows.append((case, 0, "assistant", html))
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    return spark.createDataFrame(pdf).repartition(4)
+
+
+def test_udf_equals_plain_function_on_all_fixtures(spark, fixture_turns):
+    """THE per-row invariant: UDF path ≡ pure-Python path, byte-exact,
+    under stable (conv_id, turn_idx) ordering."""
+    got = {
+        r["conv_id"]: r
+        for r in fixture_turns.withColumn("x", extract_udf("text"))
+        .select("conv_id", "text", "x.*").collect()
+    }
+    assert len(got) >= 128
+    for conv_id, row in sorted(got.items()):
+        exp = plain_extract(row["text"])
+        assert row["page_type"] == exp["page_type"], conv_id
+        assert row["title"] == exp["title"], conv_id
+        assert row["extracted_text"] == exp["extracted_text"], conv_id
+        assert row["extracted_md"] == exp["extracted_md"], conv_id
+        assert row["node_count"] == exp["node_count"], conv_id
+        assert row["span_start"] == exp["span_start"], conv_id
+        assert row["span_end"] == exp["span_end"], conv_id
+        assert row["candidate_scores"] == pytest.approx(
+            exp["candidate_scores"]), conv_id
+
+
+def test_run_extraction_end_to_end(spark):
+    df = generate_transcripts(spark, n_convs=30, seed=7, use_fixtures=False)
+    out = run_extraction(df, num_buckets=8)
+    rows = out.collect()
+    assert len(rows) == df.count()
+    assert {r["bucket_id"] for r in rows} <= set(range(8))
+    # schema stability
+    assert "page_type" in out.columns and "extracted_text" in out.columns
+
+
+def test_salting_spreads_skewed_conversations(spark):
+    # one giant conversation must not land in one bucket
+    rows = [(f"conv_big", t, "user", "<p>x</p>") for t in range(500)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    salted = salt_and_partition(df, 8)
+    counts = salted.groupBy("bucket_id").count().collect()
+    assert len(counts) == 8                      # all buckets hit
+    assert max(c["count"] for c in counts) < 500 * 0.3
+
+
+def test_metrics_and_resume(spark):
+    df = generate_transcripts(spark, n_convs=20, seed=11, use_fixtures=False).cache()
+    out = run_extraction(df, num_buckets=4)
+    metrics = derive_metrics(out)
+    mrows = metrics.collect()
+    assert sum(m["n_turns"] for m in mrows) == df.count()
+    assert all(m["status"] == "ok" for m in mrows)
+    # full metrics → resume filters everything out
+    remaining = resume_filter(df, metrics, num_buckets=4)
+    assert remaining.count() == 0
+    # drop one bucket from metrics → only that bucket's turns remain
+    partial = metrics.filter(F.col("bucket_id") != 0)
+    remaining = resume_filter(df, partial, num_buckets=4)
+    assert remaining.count() > 0
+    assert set(r["bucket_id"] for r in remaining.select("bucket_id")
+               .distinct().collect()) == {0}
+
+
+def test_explode_nodes_adjacency(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "<body><div id='a'><p>hello</p></div></body>")],
+        "conv_id string, turn_idx int, text string")
+    nodes = explode_nodes(df).collect()
+    by_id = {n["node_id"]: n for n in nodes}
+    # root html node first, pre-order ids = document order
+    assert by_id[0]["tag"] == "html" and by_id[0]["parent_id"] == -1
+    tags = [n["tag"] for n in sorted(nodes, key=lambda n: n["node_id"])
+            if n["kind"] == "element"]
+    assert tags == ["html", "body", "div", "p"]
+    # parent chain intact
+    p = next(n for n in nodes if n["tag"] == "p")
+    assert by_id[p["parent_id"]]["tag"] == "div"
+    t = next(n for n in nodes if n["kind"] == "text")
+    assert t["text"] == "hello" and t["parent_id"] == p["node_id"]
+    assert t["depth"] == p["depth"] + 1
+
+
+def test_generator_deterministic():
+    assert generate_rows(n_convs=10, seed=42) == generate_rows(
+        n_convs=10, seed=42)
+
+
+def test_generator_skew():
+    rows = generate_rows(n_convs=300, seed=42, use_fixtures=False)
+    from collections import Counter
+    lengths = Counter(r[0] for r in rows)
+    assert max(lengths.values()) >= 100     # at least one long conversation
+    assert min(lengths.values()) <= 8
