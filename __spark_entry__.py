@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_articles": relational.extract_articles,
         "extract_linkfarms": relational.extract_linkfarms,
         "extract_metadata": relational.extract_metadata,
+        "extract_aria": relational.extract_aria,
         # relational mirrors of reference operators
         "topk_per_group": relational.topk_per_group,
         "score_propagation": relational.score_propagation,
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_articles": relational.EXTRACT_ARTICLES_SQL,
         "extract_linkfarms": relational.EXTRACT_LINKFARMS_SQL,
         "extract_metadata": relational.EXTRACT_METADATA_SQL,
+        "extract_aria": relational.EXTRACT_ARIA_SQL,
         "topk_per_group": relational.TOPK_SQL,
         "score_propagation": relational.SCORE_PROPAGATION_SQL,
         "first_event_per_user": relational.FIRST_EVENT_SQL,

@@ -19,6 +19,7 @@ from typing import Any, Optional
 if sys.getrecursionlimit() < 16_000:
     sys.setrecursionlimit(16_000)
 
+from .aria import aria_tree_to_string, build_aria_tree
 from .classify import ARTICLE, OTHER, classify_page_type
 from .constants import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES
 from .metadata import (
@@ -50,7 +51,8 @@ MAX_HTML_BYTES = 8 * 1024 * 1024
 def extract(html: Optional[str],
             char_threshold: int = DEFAULT_CHAR_THRESHOLD,
             nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
-            base_uri: str = "about:blank") -> dict[str, Any]:
+            base_uri: str = "about:blank",
+            build_aria: bool = True) -> dict[str, Any]:
     """Extract main content + metadata from one HTML payload.
 
     Returns a flat record (the Spark output struct):
@@ -79,6 +81,15 @@ def extract(html: Optional[str],
     candidate_scores = [float(c.score or 0.0) for c in candidates]
 
     links = extract_links(doc)
+
+    # ARIA tree is built from the preprocessed doc (extract.ts:816);
+    # persisted as the rendered snapshot string + node count
+    aria_tree = ""
+    aria_node_count = 0
+    if build_aria:
+        tree = build_aria_tree(doc)
+        aria_node_count = tree["node_count"]
+        aria_tree = aria_tree_to_string(tree)
 
     page_type = classify_page_type(doc, candidates, char_threshold)
 
@@ -125,6 +136,8 @@ def extract(html: Optional[str],
         "n_candidates": len(candidates),
         "links": [{"href": l["href"], "text": l["text"]} for l in links],
         "n_links": len(links),
+        "aria_tree": aria_tree,
+        "aria_node_count": aria_node_count,
         "body_text_len": body_text_len,
         "char_yield": len(extracted_text),
         "span_start": span_start,

@@ -150,6 +150,44 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+def extract_aria(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARIA snapshot of the single-<article> wrap (UDF with include_aria).
+
+    Closed form: buildAriaTree(body) → article with one generic child named
+    by the <p> text when 0 < len < 100 (getAccessibleName's p/div branch,
+    aria.ts:120-125), else article alone; the snapshot renders to
+    '- article\\n[  - generic "text"\\n]'.
+    """
+    from ..udfs import make_extract_udf
+
+    udf = make_extract_udf(include_aria=True)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(_ARTICLE_WRAP).alias("html"))
+        .withColumn("x", udf(F.col("html")))
+        .select("doc_id",
+                F.col("x.aria_node_count").alias("aria_node_count"),
+                F.col("x.aria_tree").alias("aria_tree"))
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_ARIA_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\s{2,}', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) > 0 AND length(norm) < 100 THEN 2 ELSE 1 END
+         AS aria_node_count,
+       CASE WHEN length(norm) > 0 AND length(norm) < 100
+            THEN '- article' || chr(10) || '  - generic "' || norm || '"' || chr(10)
+            ELSE '- article' || chr(10) END AS aria_tree
+FROM n ORDER BY doc_id
+"""
+
+
 # --- per-group top-k (window) --------------------------------------------------
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-# per-turn extraction result (matches readability_core.extract.extract())
+# per-turn extraction result (projection of readability_core.extract()).
+# Layout choices are throughput-driven: links travel as two parallel
+# array<string> columns (a list-of-struct column costs ~3× in pandas→Arrow
+# conversion), and extracted_html is opt-in via make_extract_udf(
+# include_html=True) — it is the largest string and recomputable.
 EXTRACT_SCHEMA = T.StructType([
     T.StructField("page_type", T.StringType()),
     T.StructField("title", T.StringType()),
@@ -18,22 +22,28 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("site_name", T.StringType()),
     T.StructField("extracted_text", T.StringType()),
     T.StructField("extracted_md", T.StringType()),
-    T.StructField("extracted_html", T.StringType()),
     T.StructField("node_count", T.IntegerType()),
     T.StructField("top_score", T.DoubleType()),
     T.StructField("candidate_scores", T.ArrayType(T.DoubleType())),
     T.StructField("n_candidates", T.IntegerType()),
-    T.StructField("links", T.ArrayType(T.StructType([
-        T.StructField("href", T.StringType()),
-        T.StructField("text", T.StringType()),
-    ]))),
+    T.StructField("link_hrefs", T.ArrayType(T.StringType())),
+    T.StructField("link_texts", T.ArrayType(T.StringType())),
     T.StructField("n_links", T.IntegerType()),
+    # YAML-ish ARIA snapshot (reference builds the tree on every extract;
+    # computation is skippable via make_extract_udf(include_aria=False),
+    # columns stay for schema stability)
+    T.StructField("aria_tree", T.StringType()),
+    T.StructField("aria_node_count", T.IntegerType()),
     T.StructField("body_text_len", T.IntegerType()),
     T.StructField("char_yield", T.IntegerType()),
     T.StructField("span_start", T.IntegerType()),
     T.StructField("span_end", T.IntegerType()),
     T.StructField("error", T.StringType()),
 ])
+
+# EXTRACT_SCHEMA + extracted_html (opt-in)
+EXTRACT_SCHEMA_HTML = T.StructType(
+    EXTRACT_SCHEMA.fields + [T.StructField("extracted_html", T.StringType())])
 
 # input transcript table (BASELINE.json input_hint)
 TRANSCRIPT_SCHEMA = T.StructType([
