@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_linkfarms": relational.extract_linkfarms,
         "extract_metadata": relational.extract_metadata,
         "extract_aria": relational.extract_aria,
+        "extract_classify": relational.extract_classify,
+        "url_page_type": relational.url_page_type,
+        "detect_structure": relational.detect_structure,
         # relational mirrors of reference operators
         "topk_per_group": relational.topk_per_group,
         "score_propagation": relational.score_propagation,
@@ -83,6 +86,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_linkfarms": relational.EXTRACT_LINKFARMS_SQL,
         "extract_metadata": relational.EXTRACT_METADATA_SQL,
         "extract_aria": relational.EXTRACT_ARIA_SQL,
+        "extract_classify": relational.EXTRACT_CLASSIFY_SQL,
+        "url_page_type": relational.URL_PAGE_TYPE_SQL,
+        "detect_structure": relational.DETECT_STRUCTURE_SQL,
         "topk_per_group": relational.TOPK_SQL,
         "score_propagation": relational.SCORE_PROPAGATION_SQL,
         "first_event_per_user": relational.FIRST_EVENT_SQL,

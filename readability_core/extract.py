@@ -21,6 +21,7 @@ if sys.getrecursionlimit() < 16_000:
 
 from .aria import aria_tree_to_string, build_aria_tree
 from .classify import ARTICLE, OTHER, classify_page_type
+from .classify_improved import classify_improved, classify_snapshot_score
 from .constants import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES
 from .metadata import (
     extract_links,
@@ -102,6 +103,13 @@ def extract(html: Optional[str],
         else:
             page_type = OTHER
 
+    # improved classifier (classify.ts:70-249) and probabilistic snapshot
+    # score (classify.ts:406-513) as additional columns
+    page_type_v2 = classify_improved(doc, candidates, char_threshold,
+                                     url=base_uri)
+    article_possibility, _ = classify_snapshot_score(root, candidates,
+                                                     base_uri)
+
     node_count = count_nodes(root) if root is not None else 0
     extracted_text = format_document(stringify(root)) if root is not None else ""
     extracted_md = to_markdown(root) if root is not None else ""
@@ -123,6 +131,8 @@ def extract(html: Optional[str],
 
     return {
         "page_type": page_type,
+        "page_type_v2": page_type_v2,
+        "article_possibility": article_possibility,
         "title": title or "",
         "byline": byline,
         "lang": lang,

@@ -188,6 +188,152 @@ FROM n ORDER BY doc_id
 """
 
 
+def extract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Improved classifier + snapshot possibility score on an
+    <article><h2>…</h2><p>…</p></article> wrap.
+
+    Closed form: candidate text length L' = len('Doc ')+len(id)+L (heading
+    and paragraph text concatenate with no separator); both classifiers land
+    on ARTICLE iff L' ≥ 140; the possibility score is the additive cascade
+    0.2 (semantic) + {0.3|−0.1|0} (text) + 0.2 (zero link density) + 0.1
+    (one heading) clamped to [0,1] (classify.ts:406-513).
+    """
+    from ..udfs import extract_udf
+
+    docs = table(spark, sf_dir, "documents")
+    wrap = (
+        "concat('<html><head><title>T</title></head><body><article><h2>Doc ',"
+        " doc_id, '</h2><p>', text, '</p></article></body></html>')"
+    )
+    return (
+        docs.select("doc_id", F.expr(wrap).alias("html"))
+        .withColumn("x", extract_udf(F.col("html")))
+        .select("doc_id",
+                F.col("x.page_type").alias("page_type"),
+                F.col("x.page_type_v2").alias("page_type_v2"),
+                F.round(F.col("x.article_possibility"), 6)
+                .alias("possibility"))
+        .orderBy("doc_id")
+    )
+
+
+EXTRACT_CLASSIFY_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         4 + length(CAST(doc_id AS VARCHAR))
+           + length(regexp_replace(trim(text), '\s{2,}', ' ', 'g')) AS L
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN L >= 140 THEN 'article' ELSE 'other' END AS page_type,
+       CASE WHEN L >= 140 THEN 'article' ELSE 'other' END AS page_type_v2,
+       CASE WHEN L < 140 THEN 0.0
+            ELSE round(least(1.0, greatest(0.0,
+                 CAST(0.2 AS DOUBLE)
+                 + (CASE WHEN L >= 500 THEN CAST(0.3 AS DOUBLE)
+                         WHEN L < 250 THEN CAST(-0.1 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END)
+                 + CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE))), 6)
+       END AS possibility
+FROM n ORDER BY doc_id
+"""
+
+# URL-prior classification (classify.ts:28-57) as a pure column expression
+_URL_SYNTH = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://ex.com/articles/item' "
+    "WHEN 1 THEN 'https://ex.com/about' "
+    "WHEN 2 THEN concat('https://ex.com/p/post-', doc_id) "
+    "ELSE concat('https://ex.com/', source) END"
+)
+
+_URL_RULE = """
+CASE WHEN u LIKE '%/articles/%' THEN 'article'
+     WHEN regexp_{match}(u, '/[^/]+/[^/]+/[^/]+$') THEN 'article'
+     WHEN regexp_{match}(tail, '^[0-9]+$') THEN 'article'
+     WHEN regexp_{match}(tail, '^[a-zA-Z0-9-_]+$')
+          AND regexp_{match}(tail, '[0-9]')
+          AND length(tail) >= 5 THEN 'article'
+     ELSE 'other' END
+"""
+
+
+def url_page_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getExpectedPageTypeByUrl over synthesized URLs — regex cascade,
+    whole-stage codegen, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    rule = _URL_RULE.format(match="like")    # Spark: regexp_like
+    return (
+        docs.select(
+            "doc_id", F.expr(_URL_SYNTH).alias("u"))
+        .withColumn("tail", F.expr(
+            "regexp_extract(regexp_extract(u, '[^/]*$', 0), '^[^.]*', 0)"))
+        .select("doc_id", "u", F.expr(rule).alias("url_page_type"))
+        .orderBy("doc_id")
+    )
+
+
+URL_PAGE_TYPE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_URL_SYNTH} AS u FROM documents
+), t AS (
+  SELECT doc_id, u,
+         regexp_extract(regexp_extract(u, '[^/]*$', 0), '^[^.]*', 0) AS tail
+  FROM s
+)
+SELECT doc_id, u, {_URL_RULE.format(match="matches")} AS url_page_type
+FROM t ORDER BY doc_id
+"""
+
+
+def detect_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-structure detection (structure_udf) on a synthesized page whose
+    header nav has K = doc_id % 5 + 1 items.
+
+    Closed form: the in-header nav classifies global iff K ≥ 3 (no utility
+    keywords — navigation.ts:143-150), else local; one header, one nav,
+    one h2 section; main/footer present, no sidebar.
+    """
+    from ..udfs import structure_udf
+
+    docs = table(spark, sf_dir, "documents")
+    wrap = (
+        "concat('<html><body><header><nav><ul>', "
+        "repeat('<li><a href=\"/x\">Item</a></li>', "
+        "       cast(doc_id % 5 + 1 as int)), "
+        "'</ul></nav></header>"
+        "<main><h2>Sec</h2><p>', text, '</p></main>"
+        "<footer>f</footer></body></html>')"
+    )
+    return (
+        docs.select("doc_id", F.expr(wrap).alias("html"))
+        .withColumn("x", structure_udf(F.col("html")))
+        .select("doc_id",
+                F.col("x.n_headers").alias("n_headers"),
+                F.col("x.n_navs").alias("n_navs"),
+                F.col("x.main_nav_type").alias("main_nav_type"),
+                F.col("x.n_nav_items").alias("n_nav_items"),
+                F.col("x.has_main_content").alias("has_main_content"),
+                F.col("x.has_footer").alias("has_footer"),
+                F.col("x.n_sections").alias("n_sections"))
+        .orderBy("doc_id")
+    )
+
+
+DETECT_STRUCTURE_SQL = """
+SELECT doc_id,
+       1 AS n_headers,
+       1 AS n_navs,
+       CASE WHEN CAST(doc_id % 5 + 1 AS INT) >= 3
+            THEN 'global' ELSE 'local' END AS main_nav_type,
+       CAST(doc_id % 5 + 1 AS INT) AS n_nav_items,
+       TRUE AS has_main_content,
+       TRUE AS has_footer,
+       1 AS n_sections
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- per-group top-k (window) --------------------------------------------------
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,8 @@ from pyspark.sql import types as T
 # include_html=True) — it is the largest string and recomputable.
 EXTRACT_SCHEMA = T.StructType([
     T.StructField("page_type", T.StringType()),
+    T.StructField("page_type_v2", T.StringType()),       # improved classifier
+    T.StructField("article_possibility", T.DoubleType()),
     T.StructField("title", T.StringType()),
     T.StructField("byline", T.StringType()),
     T.StructField("lang", T.StringType()),

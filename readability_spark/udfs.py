@@ -43,7 +43,8 @@ def _extract_record(html, char_threshold: int = 500,
         return rec
     except Exception as exc:  # never fail the batch for one bad row
         return dict(
-            page_type="other", title="", byline=None, lang=None,
+            page_type="other", page_type_v2="other",
+            article_possibility=0.0, title="", byline=None, lang=None,
             site_name=None, extracted_text="", extracted_md="",
             extracted_html="", node_count=0, top_score=0.0,
             candidate_scores=[], n_candidates=0, link_hrefs=[],
@@ -85,9 +86,81 @@ def make_extract_udf(char_threshold: int = 500, include_html: bool = False,
     return _udf
 
 
+STRUCTURE_SCHEMA = None  # set below (import-order: avoid schema cycle)
+
+from pyspark.sql import types as T  # noqa: E402
+
+STRUCTURE_SCHEMA = T.StructType([
+    T.StructField("n_headers", T.IntegerType()),
+    T.StructField("n_navs", T.IntegerType()),
+    T.StructField("nav_types", T.ArrayType(T.StringType())),
+    T.StructField("main_nav_type", T.StringType()),
+    T.StructField("n_nav_items", T.IntegerType()),
+    T.StructField("has_main_content", T.BooleanType()),
+    T.StructField("has_sidebar", T.BooleanType()),
+    T.StructField("has_footer", T.BooleanType()),
+    T.StructField("n_sections", T.IntegerType()),
+    T.StructField("outline", T.StringType()),
+    T.StructField("breadcrumb", T.StringType()),
+    T.StructField("pagination_prev", T.StringType()),
+    T.StructField("pagination_next", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+_STRUCT_FIELDS = [f.name for f in STRUCTURE_SCHEMA.fields]
+
+
+def _structure_record(html) -> dict:
+    """Two-phase analysis record: runs on RAW html (detect/index.ts:44-55 —
+    detection pre-preprocess, extraction post-preprocess)."""
+    from readability_core.detect import (
+        analyze_document_structure,
+        format_sections_as_markdown,
+    )
+    try:
+        s = analyze_document_structure(html)
+        navs = s["navigations"]
+        pag = s.get("pagination") or {}
+        breadcrumb = ""
+        if s["breadcrumb"] is not None:
+            breadcrumb = " > ".join(
+                i["label"] for i in s["breadcrumb"]["items"])
+        return {
+            "n_headers": len(s["headers"]),
+            "n_navs": len(navs),
+            "nav_types": [n["type"] for n in navs],
+            "main_nav_type": navs[0]["type"] if navs else None,
+            "n_nav_items": sum(len(n["items"]) for n in navs),
+            "has_main_content": s["mainContent"] is not None,
+            "has_sidebar": s["sidebar"] is not None,
+            "has_footer": s["footer"] is not None,
+            "n_sections": len(s.get("sections") or []),
+            "outline": format_sections_as_markdown(s.get("sections") or []),
+            "breadcrumb": breadcrumb,
+            "pagination_prev": (pag.get("prev") or {}).get("href"),
+            "pagination_next": (pag.get("next") or {}).get("href"),
+            "error": None,
+        }
+    except Exception as exc:
+        rec = {k: None for k in _STRUCT_FIELDS}
+        rec.update(n_headers=0, n_navs=0, nav_types=[], n_nav_items=0,
+                   has_main_content=False, has_sidebar=False,
+                   has_footer=False, n_sections=0, outline="",
+                   breadcrumb="", error=f"exception:{type(exc).__name__}")
+        return rec
+
+
+@pandas_udf(STRUCTURE_SCHEMA)
+def structure_udf(texts: pd.Series) -> pd.DataFrame:
+    """Page/document structure analysis per turn (raw HTML, uncompressed
+    ARIA tree — the reference's two-phase design)."""
+    return _to_frame([_structure_record(t) for t in texts], _STRUCT_FIELDS)
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Expose the engine to SQL users (SURVEY.md §2.13 UDF surface)."""
     spark.udf.register("readability_extract", extract_udf)
+    spark.udf.register("readability_structure", structure_udf)
 
 
 # --- node-table explosion ----------------------------------------------------
