@@ -54,6 +54,16 @@ def extract(html: Optional[str],
             nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
             base_uri: str = "about:blank",
             build_aria: bool = True) -> dict[str, Any]:
+    record, _doc, _root, _cands = extract_full(
+        html, char_threshold, nb_top_candidates, base_uri, build_aria)
+    return record
+
+
+def extract_full(html: Optional[str],
+                 char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+                 nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+                 base_uri: str = "about:blank",
+                 build_aria: bool = True):
     """Extract main content + metadata from one HTML payload.
 
     Returns a flat record (the Spark output struct):
@@ -129,7 +139,7 @@ def extract(html: Optional[str],
 
     body_text_len = len(extract_text_content(doc.body))
 
-    return {
+    record = {
         "page_type": page_type,
         "page_type_v2": page_type_v2,
         "article_possibility": article_possibility,
@@ -154,3 +164,4 @@ def extract(html: Optional[str],
         "span_end": span_end,
         "error": error,
     }
+    return record, doc, root, candidates

@@ -334,6 +334,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def link_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-hierarchy categorization (parent/sibling/child/external) on a
+    synthesized page at https://ex.com/{source}/{doc_id}/page.
+
+    Closed form by construction: '/{source}' → parent, '#top' → parent,
+    K = doc_id%3+1 absolute '/…/page/deep' links → child, one '/…/sib' →
+    sibling, one other-origin link → external.
+    """
+    from ..udfs import hierarchy_udf
+
+    docs = table(spark, sf_dir, "documents")
+    url = "concat('https://ex.com/', source, '/', doc_id, '/page')"
+    html = (
+        "concat('<html><body>"
+        "<a href=\"/', source, '\">up</a>', "
+        "repeat(concat('<a href=\"/', source, '/', doc_id, "
+        "'/page/deep\">c</a>'), cast(doc_id % 3 + 1 as int)), "
+        "'<a href=\"#top\">t</a>"
+        "<a href=\"https://other.org/x\">e</a>"
+        "<a href=\"/', source, '/', doc_id, '/sib\">s</a>"
+        "</body></html>')"
+    )
+    return (
+        docs.select("doc_id", F.expr(html).alias("html"),
+                    F.expr(url).alias("url"))
+        .withColumn("x", hierarchy_udf(F.col("html"), F.col("url")))
+        .select("doc_id",
+                F.col("x.n_parent").alias("n_parent"),
+                F.col("x.n_sibling").alias("n_sibling"),
+                F.col("x.n_child").alias("n_child"),
+                F.col("x.n_external").alias("n_external"))
+        .orderBy("doc_id")
+    )
+
+
+LINK_HIERARCHY_SQL = """
+SELECT doc_id,
+       2 AS n_parent,
+       1 AS n_sibling,
+       CAST(doc_id % 3 + 1 AS INT) AS n_child,
+       1 AS n_external
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- per-group top-k (window) --------------------------------------------------
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,7 +51,11 @@ def build_session(app_name: str = "readability-spark",
     if master:
         b = b.master(master)
         if driver_memory is None and master.startswith("local"):
-            driver_memory = "48g"
+            driver_memory = "12g"
+        # G1 on a large heap GC-thrashed the Arrow UDF feed (measured 765s
+        # of GC inside a 120s stage at local[32]); ParallelGC with a modest
+        # heap was consistently ~2x faster for this pipeline shape
+        b = b.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

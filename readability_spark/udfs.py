@@ -157,10 +157,42 @@ def structure_udf(texts: pd.Series) -> pd.DataFrame:
     return _to_frame([_structure_record(t) for t in texts], _STRUCT_FIELDS)
 
 
+HIERARCHY_SCHEMA = T.StructType([
+    T.StructField("n_parent", T.IntegerType()),
+    T.StructField("n_sibling", T.IntegerType()),
+    T.StructField("n_child", T.IntegerType()),
+    T.StructField("n_external", T.IntegerType()),
+])
+
+
+@pandas_udf(HIERARCHY_SCHEMA)
+def hierarchy_udf(texts: pd.Series, urls: pd.Series) -> pd.DataFrame:
+    """Extract links from HTML and categorize them against the page URL
+    (parse → preprocess → extractLinks → analyzeLinkHierarchy,
+    reference: src/nav/hierarchy.ts:28-221)."""
+    from readability_core.hierarchy import analyze_link_hierarchy
+    from readability_core.metadata import extract_links
+
+    rows = []
+    for html, url in zip(texts, urls):
+        try:
+            doc = parse_html(html if isinstance(html, str) else "")
+            preprocess_document(doc)
+            links = extract_links(doc)
+            a = analyze_link_hierarchy(links, url)
+            rows.append((len(a["parent"]), len(a["sibling"]),
+                         len(a["child"]), len(a["external"])))
+        except Exception:
+            rows.append((0, 0, 0, 0))
+    return pd.DataFrame(
+        rows, columns=["n_parent", "n_sibling", "n_child", "n_external"])
+
+
 def register_udfs(spark: SparkSession) -> None:
     """Expose the engine to SQL users (SURVEY.md §2.13 UDF surface)."""
     spark.udf.register("readability_extract", extract_udf)
     spark.udf.register("readability_structure", structure_udf)
+    spark.udf.register("readability_link_hierarchy", hierarchy_udf)
 
 
 # --- node-table explosion ----------------------------------------------------
