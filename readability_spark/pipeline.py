@@ -31,9 +31,13 @@ from .udfs import extract_udf, make_extract_udf
 # Arrow rows/batch. Small batches matter enormously for UDF throughput:
 # with ~30KB HTML payloads, the default 10000-row batches serialize the
 # JVM→Python pipe (measured 36s vs 2.3s for a 200MB pass-through at
-# batch=64 on local[32]).  128 rows ≈ 4MB keeps the pipe streaming while
-# amortizing per-batch pandas overhead.
-DEFAULT_ARROW_BATCH = 128
+# batch=64 on local[32]).  64 rows ≈ 2MB keeps the feed/compute pipeline
+# full; paired with a 2MB python-worker socket buffer (spark.buffer.size,
+# default 64KB!) this took the flagship job from 432 to ~1250 turns/s at
+# local[32] — the buffer must hold ~one batch so the JVM can stage the
+# next batch while the worker computes the current one.
+DEFAULT_ARROW_BATCH = 64
+PYTHON_SOCKET_BUFFER = 2 * 1024 * 1024
 
 
 def build_session(app_name: str = "readability-spark",
@@ -63,6 +67,7 @@ def build_session(app_name: str = "readability-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch))
+        .config("spark.buffer.size", str(PYTHON_SOCKET_BUFFER))
     )
     if driver_memory:
         b = b.config("spark.driver.memory", driver_memory)
