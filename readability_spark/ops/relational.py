@@ -423,24 +423,27 @@ def score_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
          .join(F.broadcast(c), o.o_custkey == c.c_custkey))
-    levels = [
-        ("order", F.col("o_orderkey"), 1),
-        ("customer", F.col("o_custkey"), 2),
-        ("nation", F.col("c_nationkey"), 6),
-    ]
-    parts = [
-        j.select(F.lit(kind).alias("ancestor_kind"),
-                 key.cast("long").alias("ancestor_id"),
-                 # per-row floor to integer cents BEFORE aggregation: integer
-                 # sums are associative, so the result is bit-identical no
-                 # matter how partial aggregation orders the adds
-                 F.floor(F.col("rev") * 100 / div).cast("long")
-                 .alias("contrib_cents"))
-        for kind, key, div in levels
-    ]
-    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # one pass: explode each joined row into its 3 (ancestor, level) pairs
+    # instead of a 3-way union that re-runs the join per level.  Per-row
+    # floor to integer cents BEFORE aggregation: integer sums are
+    # associative, so the result is bit-identical regardless of partial-
+    # aggregation order.
+    exploded = j.select(F.explode(F.array(
+        F.struct(F.lit("order").alias("ancestor_kind"),
+                 F.col("o_orderkey").cast("long").alias("ancestor_id"),
+                 F.floor(F.col("rev") * 100 / 1).cast("long")
+                 .alias("contrib_cents")),
+        F.struct(F.lit("customer").alias("ancestor_kind"),
+                 F.col("o_custkey").cast("long").alias("ancestor_id"),
+                 F.floor(F.col("rev") * 100 / 2).cast("long")
+                 .alias("contrib_cents")),
+        F.struct(F.lit("nation").alias("ancestor_kind"),
+                 F.col("c_nationkey").cast("long").alias("ancestor_id"),
+                 F.floor(F.col("rev") * 100 / 6).cast("long")
+                 .alias("contrib_cents")),
+    )).alias("x")).select("x.*")
     return (
-        u.groupBy("ancestor_kind", "ancestor_id")
+        exploded.groupBy("ancestor_kind", "ancestor_id")
         .agg(F.sum("contrib_cents").alias("score_cents"))
         .orderBy("ancestor_kind", "ancestor_id")
     )
