@@ -559,8 +559,25 @@ def analyze_page_structure(html: str, max_navigations: int = 10,
                            document_mode: bool = False) -> dict:
     """detect/index.ts:44-112 — raw parse, UNCOMPRESSED aria tree."""
     doc = parse_html(html if isinstance(html, str) else "")
-    root = build_aria_node(doc.body)
+    return analyze_page_structure_doc(doc, max_navigations,
+                                      header_navigation_only, document_mode)
 
+
+def analyze_page_structure_doc(doc: VDocument, max_navigations: int = 10,
+                               header_navigation_only: bool = False,
+                               document_mode: bool = False) -> dict:
+    """Structure analysis over an ALREADY-PARSED (raw, un-preprocessed)
+    document — the fusion point SURVEY.md §7.6 calls for: one parse serves
+    detection (raw tree, runs first) and extraction (which preprocesses the
+    same tree afterwards)."""
+    return analyze_page_structure_root(
+        build_aria_node(doc.body), max_navigations, header_navigation_only,
+        document_mode)
+
+
+def analyze_page_structure_root(root: AriaNode, max_navigations: int = 10,
+                                header_navigation_only: bool = False,
+                                document_mode: bool = False) -> dict:
     headers = detect_headers(root)
     navigations = detect_navigations(root)
 
@@ -598,7 +615,14 @@ def analyze_page_structure(html: str, max_navigations: int = 10,
 def extract_sections(html: str) -> list[dict]:
     """document.ts:91-141 — h1-h6 stack-fold into a nested outline."""
     doc = parse_html(html if isinstance(html, str) else "")
-    root = build_aria_node(doc.body)
+    return extract_sections_doc(doc)
+
+
+def extract_sections_doc(doc: VDocument) -> list[dict]:
+    return extract_sections_root(build_aria_node(doc.body))
+
+
+def extract_sections_root(root: AriaNode) -> list[dict]:
     sections: list[dict] = []
     stack: list[tuple[dict, int]] = []
 
@@ -649,12 +673,22 @@ def extract_pagination(structure: dict) -> Optional[dict]:
 def analyze_document_structure(html: str,
                                max_navigations: int = 10) -> dict:
     """document.ts:61-86."""
-    structure = analyze_page_structure(
-        html, max_navigations=max_navigations, document_mode=True)
+    doc = parse_html(html if isinstance(html, str) else "")
+    return analyze_document_structure_doc(doc, max_navigations)
+
+
+def analyze_document_structure_doc(doc: VDocument,
+                                   max_navigations: int = 10) -> dict:
+    """Doc-mode structure over an already-parsed document: ONE aria-root
+    build serves page structure AND sections (the reference re-parses and
+    rebuilds for each — document.ts:66+93)."""
+    root = build_aria_node(doc.body)
+    structure = analyze_page_structure_root(
+        root, max_navigations=max_navigations, document_mode=True)
     structure["sidebarNavigation"] = next(
         (n for n in structure["navigations"] if n["location"] == "sidebar"),
         None)
-    structure["sections"] = extract_sections(html)
+    structure["sections"] = extract_sections_root(root)
     structure["pagination"] = extract_pagination(structure)
     return structure
 

@@ -71,16 +71,32 @@ def extract_full(html: Optional[str],
     extracted_html, node_count, top_score, candidate_scores, n_candidates,
     links, n_links, body_text_len, char_yield, span_start, span_end, error.
     """
+    doc, error = parse_guarded(html, base_uri)
+    return extract_from_doc(doc, error, char_threshold, nb_top_candidates,
+                            base_uri, build_aria)
+
+
+def parse_guarded(html: Optional[str], base_uri: str = "about:blank"):
+    """Byte-truncation + depth-cap guarded parse → (doc, error)."""
     error = None
     if html is None:
         html = ""
     if len(html) > MAX_HTML_BYTES:
         html = html[:MAX_HTML_BYTES]
         error = "truncated:max_html_bytes"
-
     doc = parse_html(html, base_uri)
     if doc.depth_capped:
         error = (error + ";" if error else "") + "depth_capped:max_dom_depth"
+    return doc, error
+
+
+def extract_from_doc(doc: VDocument, error: Optional[str],
+                     char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+                     nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+                     base_uri: str = "about:blank",
+                     build_aria: bool = True):
+    """Extraction over an already-parsed document.  PREPROCESSES IN PLACE —
+    run any raw-tree analysis (structure detection) before calling this."""
     preprocess_document(doc)
 
     title = get_article_title(doc)
@@ -165,3 +181,45 @@ def extract_full(html: Optional[str],
         "error": error,
     }
     return record, doc, root, candidates
+
+
+def analyze_and_extract(html: Optional[str],
+                        char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+                        base_uri: str = "about:blank",
+                        build_aria: bool = True) -> dict[str, Any]:
+    """Fused two-phase analysis: ONE parse serves structure detection (raw
+    tree — detect/index.ts:52-55 analyzes pre-preprocess) and extraction
+    (which then preprocesses the same tree in place).  The reference
+    double-parses for this (cli.js:185+197, per its architecture-decision
+    doc); fusing removes the second parse — the single largest CPU item.
+
+    Returns the extraction record with structure fields merged in
+    (structure_* prefix).
+    """
+    from .detect import analyze_document_structure_doc, \
+        format_sections_as_markdown
+
+    doc, error = parse_guarded(html, base_uri)
+    s = analyze_document_structure_doc(doc)          # raw tree, no mutation
+    record, _doc, _root, _cands = extract_from_doc(  # preprocesses in place
+        doc, error, char_threshold, base_uri=base_uri,
+        build_aria=build_aria)
+    pag = s.get("pagination") or {}
+    breadcrumb = ""
+    if s["breadcrumb"] is not None:
+        breadcrumb = " > ".join(i["label"] for i in s["breadcrumb"]["items"])
+    record.update({
+        "structure_n_headers": len(s["headers"]),
+        "structure_n_navs": len(s["navigations"]),
+        "structure_nav_types": [n["type"] for n in s["navigations"]],
+        "structure_has_main": s["mainContent"] is not None,
+        "structure_has_sidebar": s["sidebar"] is not None,
+        "structure_has_footer": s["footer"] is not None,
+        "structure_n_sections": len(s.get("sections") or []),
+        "structure_outline": format_sections_as_markdown(
+            s.get("sections") or []),
+        "structure_breadcrumb": breadcrumb,
+        "structure_pagination_prev": (pag.get("prev") or {}).get("href"),
+        "structure_pagination_next": (pag.get("next") or {}).get("href"),
+    })
+    return record

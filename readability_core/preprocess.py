@@ -48,4 +48,21 @@ def preprocess_document(doc: VDocument) -> VDocument:
                 parent.children.remove(el)
             except ValueError:
                 pass
+    # 3. invalidate memoized inner text: anything that read text BEFORE
+    # preprocessing (e.g. the fused structure-detection pass) populated
+    # txt_cache on nodes whose subtrees just changed — stale caches would
+    # silently corrupt candidate scoring.  Clear from the body too: the
+    # ad pass above can splice the body itself out of the documentElement
+    # (root-inclusive tag scan — faithful to the reference) while the doc
+    # keeps using the detached body
+    _clear_text_caches(doc.document_element)
+    _clear_text_caches(doc.body)
     return doc
+
+
+def _clear_text_caches(root) -> None:
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        node.txt_cache = None
+        stack.extend(c for c in node.children if c.nodeType == "element")

@@ -56,6 +56,39 @@ def test_udf_equals_plain_function_on_all_fixtures(spark, fixture_turns):
             exp["candidate_scores"]), conv_id
 
 
+def test_udf_full_parity_with_aria_on_sample(spark, fixture_turns):
+    """make_extract_udf(include_aria=True) ≡ plain extract(build_aria=True)
+    including the v2 classifier, possibility score, and the aria snapshot."""
+    from readability_spark.udfs import make_extract_udf
+
+    udf = make_extract_udf(include_aria=True)
+    sample = fixture_turns.limit(20)
+    rows = sample.withColumn("x", udf("text")).select(
+        "conv_id", "text", "x.*").collect()
+    assert rows
+    for row in rows:
+        exp = plain_extract(row["text"])
+        assert row["page_type_v2"] == exp["page_type_v2"], row["conv_id"]
+        assert row["article_possibility"] == pytest.approx(
+            exp["article_possibility"]), row["conv_id"]
+        assert row["aria_tree"] == exp["aria_tree"], row["conv_id"]
+        assert row["aria_node_count"] == exp["aria_node_count"], row["conv_id"]
+
+
+def test_sql_registered_udf_surface(spark):
+    """SQL users can call the engine directly (SURVEY.md §2.13)."""
+    from readability_spark.udfs import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql(
+        "SELECT readability_extract("
+        "'<html><body><article><h2>T</h2><p>' || repeat('word, ', 60) || "
+        "'</p></article></body></html>') AS x"
+    ).select("x.page_type", "x.char_yield").first()
+    assert row["page_type"] == "article"
+    assert row["char_yield"] > 100
+
+
 def test_run_extraction_end_to_end(spark):
     df = generate_transcripts(spark, n_convs=30, seed=7, use_fixtures=False)
     out = run_extraction(df, num_buckets=8)
