@@ -38,6 +38,10 @@ def classify_page_type(
         return OTHER
     top = candidates[0]
 
+    # steps 1 and 2 both measure the top candidate — compute once
+    text_length = len(get_inner_text(top))
+    link_density = get_link_density(top)
+
     # 1. semantic tags / content class on the top candidate
     if (
         top.tag in ("main", "article")
@@ -48,32 +52,27 @@ def classify_page_type(
             for c in top.children
         )
     ):
-        text_length = len(get_inner_text(top))
-        link_density = get_link_density(top)
         if text_length >= char_threshold / 2 and link_density <= 0.5:
             return ARTICLE
 
     # 2. text length and link density of the top candidate
-    text_length = len(get_inner_text(top))
-    link_density = get_link_density(top)
     if text_length >= char_threshold and link_density <= 0.5:
         return ARTICLE
 
     # 3. candidate score balance (ratio 2nd/1st > 0.8 → index-page signals)
+    # (body link count / text length hoisted — steps 3 and 4 both use them)
+    total_links = len(get_elements_by_tag_name(doc.body, "a"))
+    body_text_length = len(get_inner_text(doc.body))
     if len(candidates) >= 2:
         top_score = top.score or 0.0
         second_score = candidates[1].score or 0.0
         score_ratio = _js_div(second_score, top_score)
         if score_ratio > 0.8:
-            total_links = len(get_elements_by_tag_name(doc.body, "a"))
-            body_text_length = len(get_inner_text(doc.body))
             body_link_density = total_links / (body_text_length or 1)
             if body_link_density > 0.25 or link_density > 0.3:
                 return OTHER
 
     # 4. many links + little text → OTHER
-    total_links = len(get_elements_by_tag_name(doc.body, "a"))
-    body_text_length = len(get_inner_text(doc.body))
     if total_links > 30 and body_text_length < char_threshold * 1.5:
         return OTHER
 

@@ -39,8 +39,11 @@ TAGS_TO_REMOVE = (
     "aside", "nav", "header", "footer", "script", "style", "noscript",
     "iframe", "form", "button", "object", "embed", "applet", "map", "dialog")
 
-# ad class/id patterns (preprocess.ts:36-53)
-AD_PATTERNS = tuple(re.compile(p, re.I) for p in (
-    r"ad-", r"^ad$", r"^ads$", r"advert", r"banner", r"sponsor", r"promo",
-    r"google-ad", r"adsense", r"doubleclick", r"amazon", r"affiliate",
-    r"commercial", r"paid", r"shopping", r"recommendation"))
+# ad class/id patterns (preprocess.ts:36-53); combined into one
+# alternation — search(a|b|c) ≡ any(search(a), search(b), …) since the ^/$
+# anchors keep their per-string meaning without re.M
+RE_AD_COMBINED = re.compile(
+    r"ad-|^ad$|^ads$|advert|banner|sponsor|promo|google-ad|adsense|"
+    r"doubleclick|amazon|affiliate|commercial|paid|shopping|recommendation",
+    re.I)
+AD_PATTERNS = (RE_AD_COMBINED,)   # kept as a tuple for API compatibility

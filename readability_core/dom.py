@@ -48,20 +48,37 @@ def get_attribute(el: VElement, name: str) -> Optional[str]:
 
 
 def get_elements_by_tag_name(el: VElement, tags) -> list[VElement]:
-    """Depth-first pre-order tag selection, root-inclusive (dom.ts:41-59)."""
+    """Depth-first pre-order tag selection, root-inclusive (dom.ts:41-59).
+
+    Hot path (called hundreds of times per document) — the single-tag case
+    is special-cased with index loops (no genexpr/reversed allocations)."""
+    out: list[VElement] = []
+    stack = [el]
+    if isinstance(tags, str) and tags != "*":
+        t = tags.lower()
+        while stack:
+            node = stack.pop()
+            if node.tag == t:
+                out.append(node)
+            children = node.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if c.nodeType == "element":
+                    stack.append(c)
+        return out
     if isinstance(tags, str):
         tags = (tags,)
     tagset = frozenset(t.lower() for t in tags)
     wild = "*" in tagset
-    out: list[VElement] = []
-    stack = [el]
     while stack:
         node = stack.pop()
         if wild or node.tag in tagset:
             out.append(node)
-        # push children reversed to preserve document order
-        stack.extend(c for c in reversed(node.children)
-                     if c.nodeType == "element")
+        children = node.children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.nodeType == "element":
+                stack.append(c)
     return out
 
 
@@ -145,6 +162,11 @@ def _inner_text_unnormalized(el: VNode) -> str:
 
 def get_inner_text(el: VNode, normalize_spaces: bool = True) -> str:
     """Subtree text concat + trim (+ collapse \\s{2,} → ' ') (dom.ts:187-209)."""
+    if normalize_spaces and el.nodeType == "element":
+        if el.norm_cache is None:
+            el.norm_cache = _RE_NORMALIZE.sub(
+                " ", _inner_text_unnormalized(el))
+        return el.norm_cache
     text = _inner_text_unnormalized(el)
     if normalize_spaces:
         return _RE_NORMALIZE.sub(" ", text)

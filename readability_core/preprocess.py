@@ -65,4 +65,5 @@ def _clear_text_caches(root) -> None:
     while stack:
         node = stack.pop()
         node.txt_cache = None
+        node.norm_cache = None
         stack.extend(c for c in node.children if c.nodeType == "element")

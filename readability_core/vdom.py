@@ -41,7 +41,8 @@ class VText:
 
 
 class VElement:
-    __slots__ = ("tag", "attrs", "children", "parent", "score", "txt_cache")
+    __slots__ = ("tag", "attrs", "children", "parent", "score", "txt_cache",
+                 "norm_cache")
     nodeType = "element"
 
     def __init__(self, tag: str, attrs: Optional[dict] = None,
@@ -52,9 +53,10 @@ class VElement:
         self.parent = parent
         # readability.contentScore slot; None = not initialized
         self.score: Optional[float] = None
-        # memoized unnormalized inner text — valid only while the tree is
-        # immutable (i.e. after preprocess); preprocess never reads text
+        # memoized inner text (raw + whitespace-normalized) — valid only
+        # while the tree is immutable; preprocess invalidates
         self.txt_cache: Optional[str] = None
+        self.norm_cache: Optional[str] = None
 
     @property
     def class_name(self) -> str:
