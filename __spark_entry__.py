@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_page_type": relational.url_page_type,
         "detect_structure": relational.detect_structure,
         "link_hierarchy": relational.link_hierarchy,
+        "node_table_stats": relational.node_table_stats,
         # relational mirrors of reference operators
         "topk_per_group": relational.topk_per_group,
         "score_propagation": relational.score_propagation,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "url_page_type": relational.URL_PAGE_TYPE_SQL,
         "detect_structure": relational.DETECT_STRUCTURE_SQL,
         "link_hierarchy": relational.LINK_HIERARCHY_SQL,
+        "node_table_stats": relational.NODE_TABLE_SQL,
         "topk_per_group": relational.TOPK_SQL,
         "score_propagation": relational.SCORE_PROPAGATION_SQL,
         "first_event_per_user": relational.FIRST_EVENT_SQL,

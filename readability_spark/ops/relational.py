@@ -379,6 +379,42 @@ FROM documents ORDER BY doc_id
 """
 
 
+def node_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-table (serializer adjacency encoding) stats per document.
+
+    Closed form for the single-<article> wrap: html(0) → head(1) →
+    title(2) → text(3) and body(1) → article(2) → p(3) → text(4) —
+    8 nodes / depth 4 when the text is non-empty, 7 / 3 otherwise.
+    """
+    from ..udfs import explode_nodes
+
+    docs = table(spark, sf_dir, "documents")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.expr(_ARTICLE_WRAP).alias("text"))
+    nodes = explode_nodes(turns)
+    return (
+        nodes.groupBy("conv_id")
+        .agg(F.count("*").alias("n_nodes"),
+             F.max("depth").alias("max_depth"),
+             F.sum(F.when(F.col("kind") == "element", 1).otherwise(0))
+             .alias("n_elements"))
+        .withColumn("doc_id", F.col("conv_id").cast("bigint"))
+        .select("doc_id", "n_nodes", "max_depth", "n_elements")
+        .orderBy("doc_id")
+    )
+
+
+NODE_TABLE_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) > 0 THEN 8 ELSE 7 END AS n_nodes,
+       CASE WHEN length(trim(text)) > 0 THEN 4 ELSE 3 END AS max_depth,
+       6 AS n_elements
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- per-group top-k (window) --------------------------------------------------
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
