@@ -40,6 +40,14 @@ class Readable:
     def from_html(cls, html: str, **kw) -> "Readable":
         return cls(html, **kw)
 
+    @classmethod
+    def load(cls, json_string: str) -> dict:
+        """readable.ts:179-192 — rehydrate a persisted snapshot.  Returns
+        the deserialized snapshot dict (root/candidates/metadata/page_type);
+        projections over it go through readability_core.render directly."""
+        from .serializer import deserialize_tree
+        return deserialize_tree(json_string)
+
     @property
     def page_type(self) -> str:
         return self.snapshot["page_type"]
