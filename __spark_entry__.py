@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_weight": relational.class_weight,
         "users_without_errors": relational.users_without_errors,
         "sessionize": relational.sessionize,
+        "pricing_summary": relational.pricing_summary,
+        "revenue_forecast": relational.revenue_forecast,
+        "top_customers": relational.top_customers,
         # deduplication family
         "dedup_exact": dedup.exact_dedup,
         "dedup_simhash": dedup.simhash,
@@ -99,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
         "class_weight": relational.CLASS_WEIGHT_SQL,
         "users_without_errors": relational.USERS_WITHOUT_ERRORS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
+        "pricing_summary": relational.PRICING_SUMMARY_SQL,
+        "revenue_forecast": relational.REVENUE_FORECAST_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_minhash": dedup.MINHASH_SQL,

@@ -507,6 +507,95 @@ SELECT ancestor_kind, ancestor_id,
 FROM u GROUP BY 1, 2 ORDER BY ancestor_kind, ancestor_id
 """
 
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped sums/avgs/counts over
+    lineitem with all money math floored to integer cents per row (exact
+    across engines regardless of aggregation order)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = (F.floor(F.col("l_extendedprice") * 100)).cast("long")
+    disc_cents = (F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: filtered revenue aggregate — predicate pushdown to
+    the scan, one map-side partial aggregation, integer cents."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum(
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100)
+            .cast("long")).alias("revenue_cents"),
+            F.count("*").alias("n_items"))
+    )
+
+
+REVENUE_FORECAST_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored: join orders→customer (broadcast), revenue per
+    customer, top 20 by revenue with deterministic tiebreak."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum("cents").alias("revenue_cents"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
 # --- first-match coalesce (metadata-style reduction) -----------------------------
 
 def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
