@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": relational.pricing_summary,
         "revenue_forecast": relational.revenue_forecast,
         "top_customers": relational.top_customers,
+        "sales_rollup": relational.sales_rollup,
         # deduplication family
         "dedup_exact": dedup.exact_dedup,
         "dedup_simhash": dedup.simhash,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_forecast": relational.REVENUE_FORECAST_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "sales_rollup": relational.SALES_ROLLUP_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_minhash": dedup.MINHASH_SQL,

@@ -596,6 +596,37 @@ LIMIT 20
 """
 
 
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping sets, a category the
+    reference lacks entirely (SURVEY.md §2.13), expressed Spark-native.
+    NULL grouping keys are coalesced to 'ALL' so the DuckDB comparison is
+    unambiguous."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("cents"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cents", "n")
+        .orderBy("rf", "ls")
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
 # --- first-match coalesce (metadata-style reduction) -----------------------------
 
 def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
