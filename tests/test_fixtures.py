@@ -110,3 +110,36 @@ def test_spans_within_document(results):
     for case, r in results.items():
         if r["span_start"] >= 0:
             assert r["span_end"] > r["span_start"], case
+
+
+def test_corpus_wide_length_ratio_coverage(results):
+    """Corpus-wide quality metric: fraction of all 128 fixtures whose
+    normalized extracted-HTML/source length ratio is within ±20% of the
+    expected.html ratio. The reference only claims 4 enabled cases
+    (fixture-comparison.test.ts:33-44, with e.g. 005 and archive-of-our-own
+    explicitly disabled as failing); we pin the corpus-wide floor so it can
+    only improve."""
+    passing = 0
+    total = 0
+    rel_errors = []
+    for case, r in results.items():
+        ep = os.path.join(BASE, case, "expected.html")
+        if not os.path.exists(ep):
+            continue
+        source = load(case, "source.html")
+        expected = load(case, "expected.html")
+
+        def norm(h):
+            return re.sub(r"\s+", " ", h.lower())
+
+        ratio_exp = len(norm(expected)) / len(source)
+        ratio_got = len(norm(r["extracted_html"])) / len(source)
+        total += 1
+        if ratio_exp * 0.8 < ratio_got < ratio_exp * 1.2:
+            passing += 1
+        if ratio_exp:
+            rel_errors.append(abs(ratio_got - ratio_exp) / ratio_exp)
+    assert total >= 128
+    assert passing / total >= 0.50, f"{passing}/{total}"
+    rel_errors.sort()
+    assert rel_errors[len(rel_errors) // 2] <= 0.20   # median rel. error
