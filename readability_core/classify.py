@@ -12,7 +12,13 @@ from __future__ import annotations
 import math
 
 from .constants import DEFAULT_CHAR_THRESHOLD
-from .dom import get_elements_by_tag_name, get_inner_text, get_link_density
+from .dom import (
+    count_links_indexed,
+    get_elements_by_tag_name,
+    get_inner_text,
+    get_link_density,
+    get_link_density_indexed,
+)
 from .vdom import VDocument, VElement
 
 ARTICLE = "article"
@@ -32,6 +38,7 @@ def classify_page_type(
     doc: VDocument,
     candidates: list[VElement],
     char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+    link_index=None,
 ) -> str:
     """extract.ts:626-707."""
     if not candidates:
@@ -40,7 +47,8 @@ def classify_page_type(
 
     # steps 1 and 2 both measure the top candidate — compute once
     text_length = len(get_inner_text(top))
-    link_density = get_link_density(top)
+    link_density = (get_link_density_indexed(top, link_index)
+                    if link_index is not None else get_link_density(top))
 
     # 1. semantic tags / content class on the top candidate
     if (
@@ -61,7 +69,9 @@ def classify_page_type(
 
     # 3. candidate score balance (ratio 2nd/1st > 0.8 → index-page signals)
     # (body link count / text length hoisted — steps 3 and 4 both use them)
-    total_links = len(get_elements_by_tag_name(doc.body, "a"))
+    total_links = (count_links_indexed(doc.body, link_index)
+                   if link_index is not None
+                   else len(get_elements_by_tag_name(doc.body, "a")))
     body_text_length = len(get_inner_text(doc.body))
     if len(candidates) >= 2:
         top_score = top.score or 0.0

@@ -186,6 +186,59 @@ def get_link_density(el: VElement) -> float:
     return link_len / text_len
 
 
+def build_link_index(doc) -> list:
+    """Per-document link index: [(ancestor_id_set, weighted_len), ...].
+
+    Built by DOWNWARD DFS from the documentElement and the body (the body
+    can be detached by the ad pass while keeping a stale upward parent
+    pointer — containment must follow children, not parents, to match
+    get_link_density's subtree semantics exactly).  Lets candidate scoring
+    compute link densities in O(links) per candidate instead of a full
+    subtree walk each time.
+    """
+    index: list = []
+    seen: set[int] = set()
+    for root in (doc.document_element, doc.body):
+        if id(root) in seen:
+            continue
+        # DFS with explicit ancestor-id stack
+        stack = [(root, ())]
+        while stack:
+            node, anc = stack.pop()
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            anc_here = anc + (id(node),)
+            if node.tag == "a":
+                href = node.attrs.get("href") or None
+                coeff = 0.3 if (href and href.startswith("#")) else 1.0
+                index.append((frozenset(anc_here),
+                              len(get_inner_text(node)) * coeff))
+            for c in node.children:
+                if c.nodeType == "element":
+                    stack.append((c, anc_here))
+    return index
+
+
+def get_link_density_indexed(el: VElement, index: list) -> float:
+    """get_link_density via the per-document index (identical result)."""
+    text_len = len(get_inner_text(el))
+    if text_len == 0:
+        return 0.0
+    eid = id(el)
+    link_len = 0.0
+    for anc, w in index:
+        if eid in anc:
+            link_len += w
+    return link_len / text_len
+
+
+def count_links_indexed(el: VElement, index: list) -> int:
+    """len(getElementsByTagName(el, 'a')) via the index."""
+    eid = id(el)
+    return sum(1 for anc, _w in index if eid in anc)
+
+
 def get_text_density(el: VElement) -> float:
     """dom.ts:231-238 — chars per direct element child."""
     text_len = len(get_inner_text(el))

@@ -39,6 +39,7 @@ from .render import (
     to_html,
     to_markdown,
 )
+from .dom import build_link_index
 from .scoring import find_main_candidates, is_probably_content
 from .vdom import VDocument, parse_html
 
@@ -104,7 +105,10 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     lang = get_article_lang(doc)
     site_name = get_article_site_name(doc)
 
-    candidates = find_main_candidates(doc, nb_top_candidates)
+    # per-document link index: O(links) density checks instead of a
+    # subtree walk per candidate (identical results — see build_link_index)
+    link_index = build_link_index(doc)
+    candidates = find_main_candidates(doc, nb_top_candidates, link_index)
     candidate_scores = [float(c.score or 0.0) for c in candidates]
 
     links = extract_links(doc)
@@ -118,13 +122,14 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
         aria_node_count = tree["node_count"]
         aria_tree = aria_tree_to_string(tree)
 
-    page_type = classify_page_type(doc, candidates, char_threshold)
+    page_type = classify_page_type(doc, candidates, char_threshold,
+                                   link_index)
 
     root = None
     if page_type == ARTICLE and candidates:
         top = candidates[0]
         # skip the gate when charThreshold is low (extract.ts:826-832)
-        if char_threshold < 100 or is_probably_content(top):
+        if char_threshold < 100 or is_probably_content(top, link_index):
             root = top
         else:
             page_type = OTHER

@@ -161,23 +161,28 @@ _PUNCT_NO_SPACE = frozenset(".,!?;:)")
 
 
 def _escape_markdown(text: str) -> str:
-    """markdown.ts:9-20 — decode residual entities, escape md specials."""
-    decoded = (
-        text.replace("&amp;", "&")
-        .replace("&lt;", "<")
-        .replace("&gt;", ">")
-        .replace("&quot;", '"')
-        .replace("&#039;", "'")
-        .replace("&nbsp;", " ")
-    )
-    return _RE_MD_ESCAPE.sub(r"\\\1", decoded)
+    """markdown.ts:9-20 — decode residual entities, escape md specials.
+    Fast paths skip the decode chain when no '&' is present and the escape
+    sub when no specials are present (the overwhelmingly common case)."""
+    if "&" in text:
+        text = (
+            text.replace("&amp;", "&")
+            .replace("&lt;", "<")
+            .replace("&gt;", ">")
+            .replace("&quot;", '"')
+            .replace("&#039;", "'")
+            .replace("&nbsp;", " ")
+        )
+    if _RE_MD_ESCAPE.search(text) is None:
+        return text
+    return _RE_MD_ESCAPE.sub(r"\\\1", text)
 
 
 def _join_md_parts(parts: list[str]) -> str:
     """markdown.ts:27-56 — smart inline spacing."""
     result = ""
     for part in parts:
-        if not part or part.strip() == "":
+        if not part or part.isspace():
             continue
         if result == "":
             result = part
@@ -201,7 +206,9 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
     if node.nodeType == "text":
         if parent_tag in ("pre", "code"):
             return node.text
-        text = _RE_SPACE_TAB.sub(" ", node.text)
+        text = node.text
+        if "\t" in text or "  " in text:
+            text = _RE_SPACE_TAB.sub(" ", text)
         if not text:
             return ""
         return _escape_markdown(text)

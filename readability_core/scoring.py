@@ -33,6 +33,7 @@ from .dom import (
     get_elements_by_tag_name,
     get_inner_text,
     get_link_density,
+    get_link_density_indexed,
     get_node_ancestors,
     get_text_density,
     is_probably_visible,
@@ -73,7 +74,8 @@ def initialize_node(el: VElement) -> None:
 
 
 def find_main_candidates(
-    doc: VDocument, nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES
+    doc: VDocument, nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+    link_index: Optional[list] = None,
 ) -> list[VElement]:
     """Score-and-rank main-content candidates (extract.ts:324-443)."""
     # 1. semantic short-circuit: a single <article> or <main> wins outright
@@ -112,7 +114,9 @@ def find_main_candidates(
     for cand in candidates:
         if cand.score is None:
             continue
-        link_density = get_link_density(cand)
+        link_density = (get_link_density_indexed(cand, link_index)
+                        if link_index is not None
+                        else get_link_density(cand))
         cand.score *= 1 - link_density
         text_density = get_text_density(cand)
         if text_density > 0:
@@ -141,7 +145,8 @@ def find_main_candidates(
     return top
 
 
-def is_probably_content(el: VElement) -> bool:
+def is_probably_content(el: VElement,
+                        link_index: Optional[list] = None) -> bool:
     """Content gate on the top candidate (extract.ts:448-483)."""
     if not is_probably_visible(el):
         return False
@@ -150,7 +155,9 @@ def is_probably_content(el: VElement) -> bool:
         return False
     if len(get_inner_text(el)) < 140:
         return False
-    if get_link_density(el) > 0.5:
+    density = (get_link_density_indexed(el, link_index)
+               if link_index is not None else get_link_density(el))
+    if density > 0.5:
         return False
     if get_text_density(el) < 0.1:
         return False
