@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
-        "ann_lsh_topk": similarity.lsh_cosine_topk,        # rows-only
+        "ann_lsh_topk": similarity.lsh_cosine_topk,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -113,9 +113,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": dedup.LSH_PAIRS_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_lsh_topk": similarity.LSH_TOPK_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
-        # ann_lsh_topk, media_features: no SQL analogue (rows-only check)
+        # media_features: no SQL analogue (mapInPandas; rows-only check)
     }

@@ -25,15 +25,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --- tokenization (identical semantics in both dialects) --------------------
+#
+# NOT `\s`: Java's \s is ASCII [ \t\n\x0B\f\r] while DuckDB's RE2 \s excludes
+# vertical tab — a VT-containing document would tokenize differently and
+# silently skew every token-derived oracle.  Spell the class out in both
+# dialects (same character set as Java \s, so Spark outputs are unchanged).
+
+# Spark SQL string literals unescape one level: '\\t' in the SQL text → \t
+# regex escape.  The Python constant therefore carries doubled backslashes.
+_WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0b]+"
+# DuckDB string literals are verbatim: \t reaches RE2 as the two chars \ t.
+_WS_CLASS_SQL = "[ \\t\\n\\r\\f\\x0b]+"
+
 
 def tokens_col(text_col: str = "text"):
     """Non-empty whitespace tokens of lower(trim(text)) as array<string>."""
     return F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+        f"filter(split(lower(trim({text_col})), '{_WS_CLASS_SPARK}'), "
+        f"x -> x <> '')")
 
 
-SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'),"
-              " x -> x <> '')")
+SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(trim({col})), "
+              f"'{_WS_CLASS_SQL}'), x -> x <> '')")
 
 
 # --- md5-derived integers -----------------------------------------------------

@@ -97,5 +97,18 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: synth media → binary features; verified rows-only
-    (the mapInPandas stage is not SQL-expressible)."""
-    return extract_features(synth_media(spark, sf_dir)).orderBy("media_id")
+    (the mapInPandas stage is not SQL-expressible).
+
+    The gate-facing projection serializes the vector as a fixed-format CSV
+    string — array<float> cells are unsortable by the driver's pandas
+    canonicalizer; ``extract_features`` keeps the array for internal use.
+    """
+    feats = extract_features(synth_media(spark, sf_dir))
+    return (
+        feats.select(
+            "media_id", "kind", "n_bytes",
+            F.array_join(
+                F.transform("feature", lambda x: F.format_string("%.6f", x)),
+                ",").alias("feature_csv"))
+        .orderBy("media_id")
+    )

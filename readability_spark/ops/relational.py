@@ -681,12 +681,20 @@ FROM documents ORDER BY doc_id
 
 # --- anti-join (resume) -------------------------------------------------------------
 
+# Every user eventually has every event type in the synthetic data, so the
+# anti-join is windowed (errors in the first 3 days) to produce a non-empty,
+# sf-stable result — 34 users at sf0.01.
+ERR_WINDOW_END = "2024-01-04 00:00:00"
+
+
 def users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the lineage-resume primitive (re-run only buckets
-    without an ok row)."""
+    without an ok row): users with no error event in the opening window."""
     ev = table(spark, sf_dir, "events")
-    errs = ev.filter(F.col("event_type") == "error") \
-        .select("user_id").distinct()
+    errs = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit(ERR_WINDOW_END).cast("timestamp"))
+    ).select("user_id").distinct()
     return (
         ev.select("user_id").distinct()
         .join(errs, "user_id", "left_anti")
@@ -694,10 +702,11 @@ def users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-USERS_WITHOUT_ERRORS_SQL = """
+USERS_WITHOUT_ERRORS_SQL = f"""
 SELECT DISTINCT user_id FROM events
 WHERE user_id NOT IN (
-  SELECT user_id FROM events WHERE event_type = 'error')
+  SELECT user_id FROM events
+  WHERE event_type = 'error' AND ts < TIMESTAMP '{ERR_WINDOW_END}')
 ORDER BY user_id
 """
 
@@ -721,10 +730,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no", F.sum("new_session").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)))
+    # invariant 3: per-row integer cents BEFORE the sum — float addition is
+    # non-associative and Spark's partial-agg order differs from DuckDB's
     return (
         sess.groupBy("user_id", "session_no")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("session_value_cents"))
         .orderBy("user_id", "session_no")
     )
 
@@ -743,7 +755,9 @@ WITH g AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
-SELECT user_id, session_no, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS session_value_cents
 FROM s GROUP BY 1, 2 ORDER BY user_id, session_no
 """

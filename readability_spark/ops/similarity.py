@@ -73,28 +73,34 @@ FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
-# --- sign-LSH bucketed variant (scale path; verified rows-only) -------------
+# --- sign-LSH bucketed variant (scale path; exact DuckDB oracle) -------------
 
 N_PLANES = 8
+EMB_DIM = 64   # testdata embeddings width; pass dim= to override — no
+               # driver-side .first() probe (that would be a collect at scale)
 
 
-def _plane_sig_expr(dim: int) -> str:
-    """Deterministic pseudo-random hyperplanes from md5 of (plane, coord):
-    component sign = high bit of a hex digit.  Signature bit p = sign of
-    dot(v, plane_p)."""
+def _plane_sig_expr(dim: int, base: int = 0) -> str:
+    """Deterministic pseudo-random hyperplanes from md5('pl{p}_{i}'):
+    component sign = high bit of the first hex digit.  Signature bit p =
+    sign of dot(v, plane_p).  ``base`` shifts the array indexing (Spark is
+    0-indexed, DuckDB 1-indexed); seed strings always use the 0-indexed
+    coordinate so both dialects hash identical inputs.  The linear +-chain
+    evaluates left-to-right in both engines, so the float sign is exact."""
+    step = max(1, dim // 16)  # sample 16 coords per plane
     bits = []
     for p in range(N_PLANES):
         dot = " + ".join(
-            f"(case when instr('89abcdef', substr(md5('pl{p}_' || {i}), 1, 1))"
-            f" > 0 then 1 else -1 end) * cast(v[{i}] as double)"
-            for i in range(0, dim, max(1, dim // 16)))  # sample coords
+            f"(case when instr('89abcdef', substr(md5('pl{p}_{i}'), 1, 1))"
+            f" > 0 then 1 else -1 end) * cast(v[{i + base}] as double)"
+            for i in range(0, dim, step))
         bits.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
     return " + ".join(bits)
 
 
-def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_cosine_topk(spark: SparkSession, sf_dir: str,
+                    dim: int = EMB_DIM) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     sig = _plane_sig_expr(dim)
     bucketed = emb.select(
         F.col("vec_id"), F.col("embedding"),
@@ -114,3 +120,32 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     )
+
+
+def _lsh_topk_sql() -> str:
+    """DuckDB mirror: identical signature expression (1-indexed arrays),
+    list_cosine_similarity re-rank inside buckets only."""
+    sig = _plane_sig_expr(EMB_DIM, base=1).replace("v[", "embedding[")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({sig}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS a, bucket FROM b
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.a, e.embedding) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()

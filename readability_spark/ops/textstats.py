@@ -172,7 +172,8 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((pos % 64) + 1)) % {_FP_MOD}")
     return (
         docs.groupBy("doc_id")
-        .agg((F.sum(F.expr(term)) % _FP_MOD).alias("fingerprint"))
+        .agg((F.sum(F.expr(term)) % _FP_MOD).cast("long")
+             .alias("fingerprint"))
         .orderBy("doc_id")
     )
 
@@ -188,7 +189,7 @@ WITH t AS (
   )
 )
 SELECT doc_id,
-       sum((({md5_prefix_int_expr('tok')} % {_FP_MOD}) * ((pos % 64) + 1))
-           % {_FP_MOD}) % {_FP_MOD} AS fingerprint
+       CAST(sum((({md5_prefix_int_expr('tok')} % {_FP_MOD}) * ((pos % 64) + 1))
+           % {_FP_MOD}) % {_FP_MOD} AS BIGINT) AS fingerprint
 FROM p GROUP BY doc_id ORDER BY doc_id
 """

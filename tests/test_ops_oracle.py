@@ -1,0 +1,50 @@
+"""Cross-engine parity traps check_oracles.py can't catch from fixtures
+alone: tokenization on characters absent from the test corpus, and
+driver-canonicalizability of every gate-facing output.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from readability_spark.ops.common import SQL_TOKENS, tokens_col
+
+# strings the parquet corpus doesn't contain: vertical tab (Java \s includes
+# it, RE2 \s doesn't — the whole reason the class is spelled out), form feed,
+# CRLF runs, leading/trailing mixes
+TRICKY = [
+    "a\x0bb c",            # vertical tab
+    "a\fb\tc",             # form feed + tab
+    "x\r\n\r\ny  z",       # CRLF runs
+    "\x0b lead\x0b\x0btrail \x0b",
+    "  plain  words  ",
+    "one",
+    "\x0b\x0b",            # only separators → zero tokens
+]
+
+
+@pytest.mark.parametrize("s", TRICKY)
+def test_tokenization_parity_spark_vs_duckdb(spark, s):
+    srow = (spark.createDataFrame([(s,)], "text string")
+            .select(tokens_col("text").alias("toks")).first())
+    con = duckdb.connect()
+    drow = con.execute(
+        f"SELECT {SQL_TOKENS.format(col='?')} AS toks", [s]).fetchone()
+    assert list(srow[0]) == list(drow[0]), (
+        f"tokenization diverged on {s!r}: spark={srow[0]} duckdb={drow[0]}")
+
+
+def test_media_features_gate_canonicalizable(spark):
+    """The gate projection must survive the driver's pandas sort_values —
+    no array cells — and be deterministic."""
+    from readability_spark.ops.multimodal import media_features
+    pdf = media_features(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    # sort_values over all columns is exactly what crashed the r01 gate
+    pdf2 = pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns))
+    assert list(pdf2.columns) == ["feature_csv", "kind", "media_id",
+                                  "n_bytes"]
+    one = pdf.iloc[0]
+    assert isinstance(one["feature_csv"], str)
+    assert len(one["feature_csv"].split(",")) == 8

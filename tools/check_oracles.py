@@ -2,6 +2,14 @@
 on Spark and its oracle_sql() on DuckDB at the same sf, compare row count,
 column names, and order-insensitive values.
 
+Driver-strict: both sides go through pandas (Spark .toPandas(), DuckDB
+.df()) and canonicalize the way the driver does — sort columns by name,
+sort_values over all columns — so dtype artifacts the driver would hash
+differently (DuckDB HUGEINT→float64 vs Spark int64, unsortable list cells)
+fail HERE first.  Cells compare at full precision (repr of the Python
+scalar), so a last-ulp float difference or an int-vs-float dtype drift is a
+FAIL, never masked by %.9g rounding.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -15,22 +23,47 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_cell(v):
+    """Full-precision canonical string for one cell.
+
+    numpy scalars unwrap via .item() so widths collapse (int32 5 == int64 5)
+    but numeric *class* survives (repr 5 != repr 5.0) — the same distinction
+    the driver's value hash makes after pandas conversion.
+    """
+    if v is None:
+        return "None"
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    item = getattr(v, "item", None)
+    if callable(item) and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()
+        except (ValueError, TypeError):
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, list):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in idx))
-    out.sort()
-    return sorted(cols), out
+def canon(pdf):
+    """The driver's canonical form: columns sorted by name, rows sorted by
+    all columns (this is where an array<...> column crashes — deliberately
+    reproduced, since it crashes the driver's gate too)."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def norm_frame(pdf):
+    pdf = canon(pdf)
+    cols = list(pdf.columns)
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():
@@ -66,26 +99,37 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows "
+            # rows-only entries still must survive driver canonicalization
+            try:
+                norm_frame(spdf)
+            except Exception as e:
+                print(f"FAIL {name}: uncanonicalizable output "
+                      f"{type(e).__name__}: {e}")
+                failures += 1
+                continue
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows "
                   f"({time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures += 1
             continue
-        sc, sr = norm_rows(scols, [tuple(r) for r in srows])
-        dc, dr = norm_rows(dcols, drows)
+        try:
+            sc, sr = norm_frame(spdf)
+            dc, dr = norm_frame(dpdf)
+        except Exception as e:
+            print(f"FAIL {name}: uncanonicalizable output "
+                  f"{type(e).__name__}: {e}")
+            failures += 1
+            continue
         status = []
         if sc != dc:
             status.append(f"cols {sc} != {dc}")
