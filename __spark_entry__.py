@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup.minhash_signatures,
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_near": dedup.near_dedup,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.MINHASH_SQL,
         "dedup_lsh_pairs": dedup.LSH_PAIRS_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "dedup_near": dedup.NEAR_DEDUP_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,
         "lang_id": textstats.LANG_ID_SQL,

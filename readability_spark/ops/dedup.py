@@ -123,7 +123,8 @@ def _shingle_expr() -> str:
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh7) — unordered; internal building block."""
     docs = table(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", tokens_col("text").alias("toks"))
@@ -137,7 +138,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"% {_MH_PRIME}")).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_PARAMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_sql() -> str:
@@ -168,27 +173,44 @@ FROM x GROUP BY doc_id ORDER BY doc_id
 MINHASH_SQL = _minhash_sql()
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band-bucket join: docs sharing any full band are candidate near-dups.
+# skew guard: a band-bucket of B docs yields B²/2 pairs — a degenerate
+# bucket (boilerplate/empty-ish docs sharing a signature) would explode the
+# candidate set.  Buckets above the cap are dropped, the standard move in
+# production minhash dedup; the oracle applies the identical cap.
+LSH_BUCKET_CAP = 1000
 
-    This is the scale path: the join key is (band, mh_a, mh_b) — tiny — and
-    the quadratic blow-up is confined to genuinely colliding buckets.
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket grouping: docs sharing any full band are candidate
+    near-dups.
+
+    This is the scale path, as ONE lineage: explode the 4-element band
+    array (not a 4-way unionAll), groupBy the tiny (band, mh_a, mh_b) key,
+    and generate the i<j pairs inside each bucket with array lambdas — no
+    self-join, so the shingle-explode + minhash aggregation is computed
+    exactly once (a band-table self-join recomputes it per side, since
+    ReuseExchange can't match a broadcast build against a shuffle read).
     """
-    sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for band in range(LSH_BANDS):
-        a, b = 2 * band, 2 * band + 1
-        part = sig.select(
-            "doc_id", F.lit(band).alias("band"),
-            F.col(f"mh{a}").alias("k1"), F.col(f"mh{b}").alias("k2"))
-        bands = part if bands is None else bands.unionAll(part)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    sig = _signatures(spark, sf_dir)
+    band_arr = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 F.col(f"mh{2 * band}").alias("k1"),
+                 F.col(f"mh{2 * band + 1}").alias("k2"))
+        for band in range(LSH_BANDS)])
+    bands = (sig.select("doc_id", F.explode(band_arr).alias("bk"))
+             .select("doc_id", "bk.band", "bk.k1", "bk.k2"))
+    buckets = (
+        bands.groupBy("band", "k1", "k2")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= LSH_BUCKET_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")
     return (
-        left.join(right, ["band", "k1", "k2"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -201,10 +223,15 @@ def _lsh_sql() -> str:
         for band in range(LSH_BANDS))
     return f"""
 WITH sig AS ({MINHASH_SQL.replace('ORDER BY doc_id', '')}),
-bands AS ({band_rows})
+bands AS ({band_rows}),
+bsz AS (
+  SELECT band, k1, k2 FROM bands GROUP BY 1, 2, 3
+  HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}
+)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2
+FROM bands l
+JOIN bands r ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2
+JOIN bsz u ON u.band = l.band AND u.k1 = l.k1 AND u.k2 = l.k2
 WHERE l.doc_id < r.doc_id
 ORDER BY doc_a, doc_b
 """
@@ -275,3 +302,108 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+# --- composed near-dedup: LSH candidates → exact Jaccard verify -----------------
+
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate detection over the FULL corpus: banded-LSH
+    candidate pairs, then exact 3-gram Jaccard computed on those pairs only.
+
+    This is the operator the module docstring promises for 100 TB: no
+    doc_id cap — the quadratic work is confined to colliding LSH buckets,
+    and the verifier touches shingles only through (candidate pair,
+    shingle) join keys, so corpus size enters linearly (shingle explode +
+    signature aggregation, both one-shuffle columnar jobs).
+    """
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select("doc_id", F.explode(F.expr(_shingle_expr())).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_side = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select("doc_a", "doc_b", "shingle")
+    )
+    inter = (
+        a_side.join(sh.withColumnRenamed("doc_id", "doc_b"),
+                    ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select("doc_a", "doc_b", "inter", jac.alias("jaccard"),
+                (jac >= NEAR_DUP_THRESHOLD).alias("is_dup"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _near_dedup_sql() -> str:
+    mins = ",\n       ".join(
+        f"min((({a} * x + {b}) % {_MH_PRIME} + {_MH_PRIME}) % {_MH_PRIME})"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, mh{2 * band} AS k1, "
+        f"mh{2 * band + 1} AS k2 FROM sig"
+        for band in range(LSH_BANDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 2)) AS i
+    FROM t WHERE len(toks) >= 3
+  )
+), x AS (
+  SELECT doc_id, {md5_prefix_int_expr('shingle')} AS x FROM sh
+), sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM x GROUP BY doc_id
+), bands AS ({band_rows}),
+bsz AS (
+  SELECT band, k1, k2 FROM bands GROUP BY 1, 2, 3
+  HAVING count(*) BETWEEN 2 AND {LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.k1 = r.k1 AND l.k2 = r.k2
+  JOIN bsz u ON u.band = l.band AND u.k1 = l.k1 AND u.k2 = l.k2
+  WHERE l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       round(i.inter / (sa.n + sb.n - i.inter), 6) AS jaccard,
+       round(i.inter / (sa.n + sb.n - i.inter), 6) >= {NEAR_DUP_THRESHOLD}
+         AS is_dup
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+NEAR_DEDUP_SQL = _near_dedup_sql()

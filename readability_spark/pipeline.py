@@ -175,13 +175,34 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     else:
         attempt = 1
 
-    results = run_extraction(df, num_buckets, char_threshold)
-    results.write.format(fmt).mode("append").save(output_path)
+    # One materialization of the extraction UDF: persist the results, write
+    # them, then derive THIS attempt's metrics from the cache and append to
+    # the metrics table.  Re-reading output_path here would re-scan
+    # everything ever written on every attempt — at 100 TB that second full
+    # scan dominates the job.  MEMORY_AND_DISK spills oversized partitions;
+    # on clusters where caching the output is still too heavy, the
+    # equivalent is reading back only the files this attempt created.
+    from pyspark import StorageLevel
 
-    written = spark.read.format(fmt).load(output_path)
-    metrics = derive_metrics(
-        written.select("bucket_id", "page_type", "error", "node_count",
-                       "char_yield", "top_score", "conv_id"), attempt)
-    metrics.write.format(fmt).mode("overwrite").save(metrics_path)
-    n = written.count()
-    return {"rows": n, "attempt": attempt, "num_buckets": num_buckets}
+    results = run_extraction(df, num_buckets, char_threshold)
+    results.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        results.write.format(fmt).mode("append").save(output_path)
+        metrics = derive_metrics(
+            results.select("bucket_id", "page_type", "error", "node_count",
+                           "char_yield", "top_score", "conv_id"), attempt)
+        # append per-attempt lineage rows when resuming; a non-resume run is
+        # a fresh job, so its metrics table starts over
+        metrics.write.format(fmt).mode(
+            "append" if resume else "overwrite").save(metrics_path)
+    finally:
+        results.unpersist()
+
+    # counts come from the (tiny) metrics table, not another output scan
+    totals = (spark.read.format(fmt).load(metrics_path)
+              .agg(F.sum("n_turns").alias("t"),
+                   F.sum(F.when(F.col("attempt") == attempt,
+                                F.col("n_turns")).otherwise(0)).alias("n"))
+              .first())
+    return {"rows": int(totals["t"] or 0), "rows_new": int(totals["n"] or 0),
+            "attempt": attempt, "num_buckets": num_buckets}
