@@ -21,8 +21,9 @@ from .detect import (
     analyze_page_structure,
     extract_document_content,
 )
-from .extract import extract, extract_full
+from .extract import create_extractor, extract, extract_full
 from .hierarchy import analyze_link_hierarchy
+from .progressive import progressive_dispatch
 from .readable import Readable
 from .serializer import deserialize_tree, serialize_tree
 from .metadata import (
@@ -54,6 +55,6 @@ __all__ = [
     "get_expected_page_type_by_url", "analyze_document_structure",
     "analyze_page_structure", "extract_document_content",
     "analyze_link_hierarchy", "Readable", "deserialize_tree",
-    "serialize_tree",
+    "serialize_tree", "create_extractor", "progressive_dispatch",
 ]
 __version__ = "0.1.0"

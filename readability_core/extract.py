@@ -54,9 +54,12 @@ def extract(html: Optional[str],
             char_threshold: int = DEFAULT_CHAR_THRESHOLD,
             nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
             base_uri: str = "about:blank",
-            build_aria: bool = True) -> dict[str, Any]:
+            build_aria: bool = True,
+            parser=None,
+            forced_page_type: Optional[str] = None) -> dict[str, Any]:
     record, _doc, _root, _cands = extract_full(
-        html, char_threshold, nb_top_candidates, base_uri, build_aria)
+        html, char_threshold, nb_top_candidates, base_uri, build_aria,
+        parser, forced_page_type)
     return record
 
 
@@ -64,20 +67,52 @@ def extract_full(html: Optional[str],
                  char_threshold: int = DEFAULT_CHAR_THRESHOLD,
                  nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
                  base_uri: str = "about:blank",
-                 build_aria: bool = True):
+                 build_aria: bool = True,
+                 parser=None,
+                 forced_page_type: Optional[str] = None):
     """Extract main content + metadata from one HTML payload.
+
+    ``parser`` is the pluggable-parser hook (extract.ts ReadabilityOptions.
+    parser): a callable (html, base_uri) -> VDocument; default parse_html.
 
     Returns a flat record (the Spark output struct):
     page_type, title, byline, lang, site_name, extracted_text, extracted_md,
     extracted_html, node_count, top_score, candidate_scores, n_candidates,
     links, n_links, body_text_len, char_yield, span_start, span_end, error.
     """
-    doc, error = parse_guarded(html, base_uri)
+    doc, error = parse_guarded(html, base_uri, parser)
     return extract_from_doc(doc, error, char_threshold, nb_top_candidates,
-                            base_uri, build_aria)
+                            base_uri, build_aria, forced_page_type)
 
 
-def parse_guarded(html: Optional[str], base_uri: str = "about:blank"):
+def create_extractor(parser=None, generate_aria_tree: Optional[bool] = None,
+                     forced_page_type: Optional[str] = None):
+    """extract.ts:866-890 — extractor factory with a pre-configured parser
+    plus default generateAriaTree / forcedPageType.  The returned callable
+    accepts extract()'s options EXCEPT ``parser`` (the reference's
+    ``Omit<ReadabilityOptions, "parser">``); per-call forced_page_type /
+    build_aria override the factory defaults."""
+    default_aria = True if generate_aria_tree is None else generate_aria_tree
+
+    def _extract(html: Optional[str],
+                 char_threshold: int = DEFAULT_CHAR_THRESHOLD,
+                 nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
+                 base_uri: str = "about:blank",
+                 build_aria: Optional[bool] = None,
+                 forced_page_type_call: Optional[str] = None
+                 ) -> dict[str, Any]:
+        return extract(
+            html, char_threshold, nb_top_candidates, base_uri,
+            default_aria if build_aria is None else build_aria,
+            parser,
+            forced_page_type_call if forced_page_type_call is not None
+            else forced_page_type)
+
+    return _extract
+
+
+def parse_guarded(html: Optional[str], base_uri: str = "about:blank",
+                  parser=None):
     """Byte-truncation + depth-cap guarded parse → (doc, error)."""
     error = None
     if html is None:
@@ -85,7 +120,7 @@ def parse_guarded(html: Optional[str], base_uri: str = "about:blank"):
     if len(html) > MAX_HTML_BYTES:
         html = html[:MAX_HTML_BYTES]
         error = "truncated:max_html_bytes"
-    doc = parse_html(html, base_uri)
+    doc = (parser or parse_html)(html, base_uri)
     if doc.depth_capped:
         error = (error + ";" if error else "") + "depth_capped:max_dom_depth"
     return doc, error
@@ -95,7 +130,8 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
                      char_threshold: int = DEFAULT_CHAR_THRESHOLD,
                      nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
                      base_uri: str = "about:blank",
-                     build_aria: bool = True):
+                     build_aria: bool = True,
+                     forced_page_type: Optional[str] = None):
     """Extraction over an already-parsed document.  PREPROCESSES IN PLACE —
     run any raw-tree analysis (structure detection) before calling this."""
     preprocess_document(doc)
@@ -122,8 +158,10 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
         aria_node_count = tree["node_count"]
         aria_tree = aria_tree_to_string(tree)
 
-    page_type = classify_page_type(doc, candidates, char_threshold,
-                                   link_index)
+    # forcedPageType pre-empts classification but NOT the content-gate
+    # demotion below (extract.ts:820 — `forcedPageType || classifyPageType`)
+    page_type = forced_page_type or classify_page_type(
+        doc, candidates, char_threshold, link_index)
 
     root = None
     if page_type == ARTICLE and candidates:

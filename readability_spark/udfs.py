@@ -33,10 +33,12 @@ _FIELDS = [f.name for f in EXTRACT_SCHEMA.fields]
 
 
 def _extract_record(html, char_threshold: int = 500,
-                    build_aria: bool = False) -> dict:
+                    build_aria: bool = False, parser=None,
+                    forced_page_type=None) -> dict:
     try:
         rec = _extract_one(html, char_threshold=char_threshold,
-                           build_aria=build_aria)
+                           build_aria=build_aria, parser=parser,
+                           forced_page_type=forced_page_type)
         links = rec["links"]
         rec["link_hrefs"] = [l["href"] for l in links]
         rec["link_texts"] = [l["text"] for l in links]
@@ -69,18 +71,25 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
 
 
 def make_extract_udf(char_threshold: int = 500, include_html: bool = False,
-                     include_aria: bool = False):
+                     include_aria: bool = False, parser=None,
+                     forced_page_type=None):
     """extract_udf with a non-default charThreshold (job parameter —
     reference defaults differ by entry point: 500 lib / 250 CLI / 100 MCP,
     src/constants.ts:15, cli.js:168, src/mcp-server.ts:27), the
-    extracted_html column, and/or the ARIA snapshot computed."""
+    extracted_html column, and/or the ARIA snapshot computed.
+
+    ``parser`` / ``forced_page_type`` mirror createExtractor
+    (extract.ts:866-890): a pluggable (html, base_uri) -> VDocument parser
+    — it must be cloudpickle-serializable, since it ships to executors
+    inside the UDF closure — and a classification override."""
     schema = EXTRACT_SCHEMA_HTML if include_html else EXTRACT_SCHEMA
     fields = [f.name for f in schema.fields]
 
     @pandas_udf(schema)
     def _udf(texts: pd.Series) -> pd.DataFrame:
         return _to_frame(
-            [_extract_record(t, char_threshold, include_aria) for t in texts],
+            [_extract_record(t, char_threshold, include_aria, parser,
+                             forced_page_type) for t in texts],
             fields)
 
     return _udf
