@@ -118,7 +118,31 @@ def test_corpus_wide_length_ratio_coverage(results):
     expected.html ratio. The reference only claims 4 enabled cases
     (fixture-comparison.test.ts:33-44, with e.g. 005 and archive-of-our-own
     explicitly disabled as failing); we pin the corpus-wide floor so it can
-    only improve."""
+    only improve.
+
+    Diagnosis of the 59 out-of-band fixtures (expected.html is MOZILLA
+    readability output; the reference algorithm is deliberately different,
+    so parity with the reference caps this metric):
+
+    - 10 extract nothing: the reference's 5-rule classifier returns
+      `other` (classify.ts:17-64) where Mozilla's isProbablyReaderable says
+      readerable — the reference itself produces no content there (several
+      are in KNOWN_CLASSIFY_DIVERGENCE).
+    - ~8 under-extract: pages whose body is styled-<div> paragraphs
+      (royal-road, ehow-1, herald-sun-1…). The reference scores only
+      section/h2-h6/p/td/pre (extract.ts:46 imports ../constants.ts:12 —
+      NOT the extended div/article/main list in extract/constants.ts:2,
+      which is dead code), so div-paragraph content loses to small <p>
+      clusters. Faithful by construction; Mozilla div→p-converts.
+    - ~41 over-extract: the reference keeps <template>/<svg> subtrees and
+      every non-class attribute (preprocess.ts:11-33 removal list matches
+      ours 1:1; toHTML format.ts:15-97 drops only class/span), while
+      Mozilla's expected.html strips scripts-in-template, svg innards and
+      data-*/onclick noise. Our to_html is byte-faithful to format.ts.
+
+    Raising this floor materially would require diverging from the
+    reference's scoring/preprocess — out of scope by design; the floor is
+    pinned at the achieved value so regressions fail fast."""
     passing = 0
     total = 0
     rel_errors = []
@@ -140,6 +164,6 @@ def test_corpus_wide_length_ratio_coverage(results):
         if ratio_exp:
             rel_errors.append(abs(ratio_got - ratio_exp) / ratio_exp)
     assert total >= 128
-    assert passing / total >= 0.50, f"{passing}/{total}"
+    assert passing / total >= 0.53, f"{passing}/{total}"   # achieved: 69/128
     rel_errors.sort()
     assert rel_errors[len(rel_errors) // 2] <= 0.20   # median rel. error
