@@ -35,7 +35,7 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1200"))
 
 OPS_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_lsh_pairs",
-    "ann_cosine_topk", "topk_per_group", "score_propagation",
+    "dedup_near", "ann_cosine_topk", "topk_per_group", "score_propagation",
     "sessionize", "token_counts", "lang_id",
 ]
 

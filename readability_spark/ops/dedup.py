@@ -123,22 +123,31 @@ def _shingle_expr() -> str:
             "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh7) — unordered; internal building block."""
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle, x) — NOT deduplicated: min() is duplicate-
+    insensitive, so skipping the distinct saves a full shuffle of the
+    shingle table (partial mins combine map-side instead)."""
     docs = table(spark, sf_dir, "documents")
-    sh = (
+    return (
         docs.select("doc_id", tokens_col("text").alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
         .select("doc_id", F.explode(F.expr(_shingle_expr())).alias("shingle"))
-        .distinct()
         .withColumn("x", F.expr(md5_prefix_int_expr("shingle")))
     )
-    aggs = [
+
+
+def _minhash_aggs():
+    return [
         F.min(F.expr(f"(({a} * x + {b}) % {_MH_PRIME} + {_MH_PRIME}) "
                      f"% {_MH_PRIME}")).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_PARAMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh7) — unordered; internal building block."""
+    return (_exploded_shingles(spark, sf_dir)
+            .groupBy("doc_id").agg(*_minhash_aggs()))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,18 +189,15 @@ MINHASH_SQL = _minhash_sql()
 LSH_BUCKET_CAP = 1000
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band-bucket grouping: docs sharing any full band are candidate
-    near-dups.
+def _band_pairs(sig: DataFrame) -> DataFrame:
+    """sig(doc_id, mh0..mh7) → distinct candidate (doc_a < doc_b) pairs.
 
-    This is the scale path, as ONE lineage: explode the 4-element band
-    array (not a 4-way unionAll), groupBy the tiny (band, mh_a, mh_b) key,
-    and generate the i<j pairs inside each bucket with array lambdas — no
-    self-join, so the shingle-explode + minhash aggregation is computed
-    exactly once (a band-table self-join recomputes it per side, since
-    ReuseExchange can't match a broadcast build against a shuffle read).
-    """
-    sig = _signatures(spark, sf_dir)
+    ONE lineage: explode the 4-element band array (not a 4-way unionAll),
+    groupBy the tiny (band, mh_a, mh_b) key, and generate the i<j pairs
+    inside each bucket with array lambdas — no self-join, so the upstream
+    minhash aggregation is computed exactly once (a band-table self-join
+    recomputes it per side, since ReuseExchange can't match a broadcast
+    build against a shuffle read)."""
     band_arr = F.array(*[
         F.struct(F.lit(band).alias("band"),
                  F.col(f"mh{2 * band}").alias("k1"),
@@ -212,8 +218,14 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket grouping: docs sharing any full band are candidate
+    near-dups.  See _band_pairs for the single-lineage plan shape."""
+    return (_band_pairs(_signatures(spark, sf_dir))
+            .orderBy("doc_a", "doc_b"))
 
 
 def _lsh_sql() -> str:
@@ -313,38 +325,38 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, then exact 3-gram Jaccard computed on those pairs only.
 
     This is the operator the module docstring promises for 100 TB: no
-    doc_id cap — the quadratic work is confined to colliding LSH buckets,
-    and the verifier touches shingles only through (candidate pair,
-    shingle) join keys, so corpus size enters linearly (shingle explode +
-    signature aggregation, both one-shuffle columnar jobs).
+    doc_id cap — the quadratic work is confined to colliding LSH buckets.
+
+    Plan shape: ONE shingle explode feeds ONE aggregation producing the
+    per-doc signature AND its distinct-shingle set (collect_set), persisted
+    so the three consumers (pair generation, a-side join, b-side join) read
+    the cache instead of re-exploding the corpus — this is the table a real
+    pipeline would checkpoint.  Pair intersections are computed in-memory
+    per pair via array_intersect on doc_id-keyed joins; shingles themselves
+    never shuffle again.
     """
-    pairs = lsh_candidate_pairs(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", tokens_col("text").alias("toks"))
-        .filter(F.expr("size(toks) >= 3"))
-        .select("doc_id", F.explode(F.expr(_shingle_expr())).alias("shingle"))
-        .distinct()
+    from pyspark import StorageLevel
+
+    tbl = (
+        _exploded_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs(), F.collect_set("shingle").alias("ss"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a_side = (
-        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .select("doc_a", "doc_b", "shingle")
-    )
-    inter = (
-        a_side.join(sh.withColumnRenamed("doc_id", "doc_b"),
-                    ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
-    )
+    pairs = _band_pairs(tbl)
+    a = tbl.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    b = tbl.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
     jac = F.round(
-        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6)
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n", "nb"), "doc_b")
-        .select("doc_a", "doc_b", "inter", jac.alias("jaccard"),
-                (jac >= NEAR_DUP_THRESHOLD).alias("is_dup"))
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"),
+                jac.alias("jaccard"), (jac >= NEAR_DUP_THRESHOLD)
+                .alias("is_dup"))
+        # band-colliding pairs with zero shared shingles are possible in
+        # principle; the oracle's inner shingle-join drops them — mirror it
+        .filter(F.col("inter") >= 1)
         .orderBy("doc_a", "doc_b")
     )
 
