@@ -13,6 +13,9 @@ same extraction as a streaming stage:
 - ``stream_conversation_stats``: watermarked sliding-window aggregation of
   extraction yields per conversation — the late-data-tolerant rollup a
   monitoring surface wants.
+- ``stream_sessionize``: custom stateful operator (applyInPandasWithState,
+  per-user GroupState + event-time timeout) — the streaming twin of the
+  batch ``ops.relational.sessionize``.
 
 Both are thin: the engine's operators are stateless column transforms, so
 batch and streaming share all of the actual logic.
@@ -66,6 +69,95 @@ def stream_conversation_stats(extracted: DataFrame,
             .alias("n_articles"),
             F.sum("char_yield").alias("sum_char_yield"),
         )
+    )
+
+
+SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
+                      "session_end timestamp, n_events long, "
+                      "session_value_cents long")
+SESSION_STATE_SCHEMA = "start long, last long, n long, cents long"
+SESSION_GAP_MIN = 30        # mirror of ops.relational.SESSION_GAP_MIN
+
+
+def stream_sessionize(events: DataFrame,
+                      gap_minutes: int = SESSION_GAP_MIN,
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: gap-based sessionization over the event
+    stream via ``applyInPandasWithState`` — the streaming twin of the batch
+    ``ops.relational.sessionize`` (same 30-min gap, same per-row integer
+    cents), with per-user GroupState carrying the open session.
+
+    Semantics: a session CLOSES (and is emitted, append mode) when a later
+    event for the same user arrives more than ``gap_minutes`` after the
+    previous one, or when event-time timeout fires (watermark passed
+    last_ts + gap) — so in-flight sessions flush without a closing event.
+    State is four longs per active user; at 10^9 users that is a few GB
+    sharded across executors, the shape this API exists for.
+
+    Arrival assumption: events may be arbitrarily disordered WITHIN a
+    microbatch (sorted before folding), but the state holds only the open
+    session, so across microbatches per-user event time must be
+    non-decreasing (i.e. ingest files in time order — the normal shape of
+    an append-only event log).  Buffering the full watermark window in
+    state would lift this at a memory cost this pipeline doesn't need.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(user_id, start, last, n, cents):
+        return pd.DataFrame({
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "session_start": [pd.Timestamp(start * 1000)],
+            "session_end": [pd.Timestamp(last * 1000)],
+            "n_events": pd.Series([n], dtype="int64"),
+            "session_value_cents": pd.Series([cents], dtype="int64"),
+        })
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, cents = state.get
+            state.remove()
+            yield _emit(user_id, start, last, n, cents)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        if state.exists:
+            start, last, n, cents = state.get
+        else:
+            start = last = None
+            n = cents = 0
+        closed = []
+        for ts, val in zip(batch["ts"], batch["value"]):
+            t = int(ts.value // 1000)                     # ns → µs
+            c = int(math.floor(float(val) * 100))         # invariant 3
+            if last is not None and t - last > gap_us:
+                closed.append((start, last, n, cents))
+                start, n, cents = None, 0, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            cents += c
+        state.update((start, last, n, cents))
+        # flush the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        for s in closed:
+            yield _emit(user_id, *s)
+
+    # watermarks require TIMESTAMP (ltz); parquet event tables often carry
+    # TIMESTAMP_NTZ — the cast is gap-neutral (sessions compare differences)
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout)
     )
 
 

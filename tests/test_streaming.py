@@ -53,3 +53,45 @@ def test_windowed_stats_plan_is_streaming(spark, stream_dirs):
     stats = stream_conversation_stats(extracted)
     assert stats.isStreaming
     assert "n_articles" in stats.columns
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """The stateful streaming operator must emit every gap-closed session
+    (byte-equal aggregates to batch sessionize) plus whatever open sessions
+    the final watermark batch times out — i.e. closed ⊆ emitted ⊆ all, as
+    multisets, with nothing invented and nothing closed twice."""
+    from collections import Counter
+    from readability_spark.ops.relational import sessionize
+    from readability_spark.streaming import stream_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inp = str(tmp_path / "in")
+    # file source needs a dir; one time-ordered file = event-time-ordered
+    # ingest (the operator's documented arrival assumption)
+    events.orderBy("ts", "event_id").coalesce(1).write.parquet(inp)
+    src = spark.readStream.schema(events.schema).parquet(inp)
+    q = (stream_sessionize(src).writeStream
+         .format("memory").queryName("sess_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = Counter((r["user_id"], r["n_events"], r["session_value_cents"])
+                  for r in spark.sql("select * from sess_stream").collect())
+
+    batch = sessionize(spark, sf_dir).collect()
+    last_no = {}
+    for r in batch:
+        last_no[r["user_id"]] = max(last_no.get(r["user_id"], -1),
+                                    r["session_no"])
+    key = lambda r: (r["user_id"], r["n_events"], r["session_value_cents"])
+    closed = Counter(key(r) for r in batch
+                     if r["session_no"] != last_no[r["user_id"]])
+    everything = Counter(key(r) for r in batch)
+    assert not closed - got, "gap-closed session missing from the stream"
+    assert not got - everything, "stream emitted a session batch never saw"
+    assert sum(closed.values()) > 0
+    # the final watermark batch should flush most open sessions by timeout
+    assert sum(got.values()) > sum(closed.values())
