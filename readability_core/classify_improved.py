@@ -21,7 +21,12 @@ from typing import Optional
 
 from .classify import ARTICLE, OTHER, _js_div
 from .constants import DEFAULT_CHAR_THRESHOLD
-from .dom import get_elements_by_tag_name, get_inner_text, get_link_density
+from .dom import (
+    collect_by_tags,
+    get_elements_by_tag_name,
+    get_inner_text,
+    get_link_density,
+)
 from .vdom import VDocument, VElement
 
 _RE_DIGITS = re.compile(r"^\d+$")
@@ -74,10 +79,8 @@ def _is_semantic_top(top: VElement) -> bool:
     )
 
 
-def _list_element_count(body: VElement, include_li: bool = True) -> int:
-    n = len(get_elements_by_tag_name(body, "article"))
-    if include_li:
-        n += len(get_elements_by_tag_name(body, "li"))
+def _list_element_count(body: VElement, n_article: int, n_li: int) -> int:
+    n = n_article + n_li
     n += sum(
         1 for c in body.children
         if c.nodeType == "element" and any(
@@ -112,11 +115,14 @@ def classify_improved(doc: VDocument, candidates: list[VElement],
     top = candidates[0]
     body = doc.body
 
-    heading_count = sum(
-        len(get_elements_by_tag_name(body, h)) for h in ("h1", "h2", "h3"))
-    image_count = len(get_elements_by_tag_name(body, "img"))
-    link_count = len(get_elements_by_tag_name(body, "a"))
-    list_element_count = _list_element_count(body, include_li=True)
+    # one DFS for all seven tag censuses (identical counts per tag)
+    d = collect_by_tags(body, ("h1", "h2", "h3", "img", "a",
+                               "article", "li"))
+    heading_count = len(d["h1"]) + len(d["h2"]) + len(d["h3"])
+    image_count = len(d["img"])
+    link_count = len(d["a"])
+    list_element_count = _list_element_count(
+        body, len(d["article"]), len(d["li"]))
 
     # index-page heuristics
     if (list_element_count > 10
@@ -197,8 +203,8 @@ def classify_snapshot_score(root: Optional[VElement],
         p -= 0.2
         reasons.append(f"High link density ({link_density:.2f})")
 
-    heading_count = sum(
-        len(get_elements_by_tag_name(root, h)) for h in ("h1", "h2", "h3"))
+    dr = collect_by_tags(root, ("h1", "h2", "h3", "article"))
+    heading_count = len(dr["h1"]) + len(dr["h2"]) + len(dr["h3"])
     if 1 <= heading_count <= 10:
         p += 0.1
         reasons.append(f"Appropriate heading count ({heading_count})")
@@ -206,7 +212,7 @@ def classify_snapshot_score(root: Optional[VElement],
         p -= 0.1
         reasons.append(f"Inappropriate heading count ({heading_count})")
 
-    list_count = len(get_elements_by_tag_name(root, "article")) + sum(
+    list_count = len(dr["article"]) + sum(
         1 for c in root.children
         if c.nodeType == "element" and any(
             k in c.class_name.lower() for k in ("card", "item", "entry"))

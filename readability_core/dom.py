@@ -82,6 +82,27 @@ def get_elements_by_tag_name(el: VElement, tags) -> list[VElement]:
     return out
 
 
+def collect_by_tags(el: VElement, tags) -> dict[str, list[VElement]]:
+    """ONE pre-order DFS collecting several tags at once; each returned
+    list is element-for-element identical to
+    ``get_elements_by_tag_name(el, tag)`` (same document order, root-
+    inclusive).  Collapses the per-tag-loop hot paths (candidate scoring
+    scans 9 tags, the improved classifier 7) into a single traversal."""
+    out: dict[str, list[VElement]] = {t.lower(): [] for t in tags}
+    stack = [el]
+    while stack:
+        node = stack.pop()
+        bucket = out.get(node.tag)
+        if bucket is not None:
+            bucket.append(node)
+        children = node.children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.nodeType == "element":
+                stack.append(c)
+    return out
+
+
 def is_probably_visible(el: VElement) -> bool:
     """dom.ts:87-98 — style/hidden/aria-hidden visibility heuristic."""
     style = el.attrs.get("style", "")

@@ -30,6 +30,7 @@ from .constants import (
     RE_UNLIKELY_CANDIDATES,
 )
 from .dom import (
+    collect_by_tags,
     get_elements_by_tag_name,
     get_inner_text,
     get_link_density,
@@ -79,8 +80,10 @@ def find_main_candidates(
 ) -> list[VElement]:
     """Score-and-rank main-content candidates (extract.ts:324-443)."""
     # 1. semantic short-circuit: a single <article> or <main> wins outright
+    # (one DFS for both tags; identical per-tag lists and check order)
+    semantic = collect_by_tags(doc.document_element, ("article", "main"))
     for tag in ("article", "main"):
-        els = get_elements_by_tag_name(doc.document_element, tag)
+        els = semantic[tag]
         if len(els) == 1:
             return [els[0]]
 
@@ -88,8 +91,9 @@ def find_main_candidates(
     body = doc.body
     candidates: list[VElement] = []
     elements_to_score: list[VElement] = []
+    by_tag = collect_by_tags(body, DEFAULT_TAGS_TO_SCORE)
     for tag in DEFAULT_TAGS_TO_SCORE:           # tag order defines tie order
-        elements_to_score.extend(get_elements_by_tag_name(body, tag))
+        elements_to_score.extend(by_tag[tag])
 
     for el in elements_to_score:
         inner = get_inner_text(el)

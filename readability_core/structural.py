@@ -20,6 +20,7 @@ from .classify import ARTICLE, OTHER
 from .classify_improved import _is_semantic_top
 from .constants import DEFAULT_CHAR_THRESHOLD
 from .dom import (
+    collect_by_tags,
     get_elements_by_tag_name,
     get_inner_text,
     get_link_density,
@@ -109,8 +110,10 @@ def find_structural_elements(doc: VDocument) -> dict:
     # 3. other significant nodes: semantic tags + class/id patterns,
     # excluding anything inside header/footer
     potential: list[VElement] = []
+    by_tag = collect_by_tags(body, ("main", "article", "section",
+                                    "aside", "nav"))
     for tag in ("main", "article", "section", "aside", "nav"):
-        potential.extend(get_elements_by_tag_name(body, tag))
+        potential.extend(by_tag[tag])
     add_significant_elements_by_class_or_id(body, potential)
 
     others: list[VElement] = []
@@ -152,13 +155,13 @@ def analyze_content_characteristics(
     reasons.append(f"text length: {text_length}")
     reasons.append(f"link density: {link_density:.2f}")
 
-    heading_count = sum(
-        len(get_elements_by_tag_name(doc.body, h)) for h in ("h1", "h2", "h3"))
+    d = collect_by_tags(doc.body, ("h1", "h2", "h3", "article"))
+    heading_count = len(d["h1"]) + len(d["h2"]) + len(d["h3"])
     reasons.append(f"heading count: {heading_count}")
 
     # list elements: article tags + card/item/entry classed direct children
     # (NOTE: unlike classify(), li is excluded here — classify.ts:344)
-    list_count = len(get_elements_by_tag_name(doc.body, "article")) + sum(
+    list_count = len(d["article"]) + sum(
         1 for c in doc.body.children
         if c.nodeType == "element" and any(
             k in c.class_name.lower() for k in ("card", "item", "entry")))
