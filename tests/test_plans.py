@@ -1,0 +1,99 @@
+"""Physical-plan locks: the .explain evidence in PLANS.md, asserted.
+
+A wrong plan is a scale bug even when results are correct — these tests
+pin the properties that matter at 100 TB (scan pruning, shuffle count,
+pushdown, broadcast direction, single-lineage aggregations) so a regression
+fails here instead of in a cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def nodes(plan: str, name: str) -> int:
+    """Count plan NODES (the formatted detail section repeats each node
+    header, so a plain substring count double-counts)."""
+    return len(re.findall(rf"\n\(\d+\) {name}\b", plan))
+
+
+def test_run_extraction_one_shuffle_pruned_scan(spark):
+    from readability_spark.pipeline import run_extraction
+    from readability_spark.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=4, seed=1, use_fixtures=False)
+    out = run_extraction(df.select("conv_id", "turn_idx", "role", "text"),
+                         num_buckets=8)
+    plan = plan_of(out)
+    # exactly one exchange: the salt repartition
+    assert nodes(plan, "Exchange") == 1, plan
+    assert nodes(plan, "BroadcastExchange") == 0
+    assert "ArrowEvalPython" in plan
+
+
+def test_lsh_pairs_single_scan_single_minhash_agg(spark):
+    from readability_spark.ops.dedup import lsh_candidate_pairs
+
+    plan = plan_of(lsh_candidate_pairs(spark, SF))
+    assert nodes(plan, "Scan parquet") == 1, "band pairs must be one lineage"
+    # the 8 partial mins appear in ONE aggregation node, not per join side
+    assert plan.count("partial_min") == 8, plan.count("partial_min")
+
+
+def test_cosine_topk_pushdown_and_window_group_limit(spark):
+    from readability_spark.ops.similarity import cosine_topk
+
+    plan = plan_of(cosine_topk(spark, SF))
+    assert "WindowGroupLimit" in plan          # top-k pushdown
+    assert re.search(r"PushedFilters:.*LessThan\(vec_id,5\)", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan   # tiny query side broadcast
+
+
+def test_resume_filter_is_broadcast_anti_join(spark):
+    from readability_spark.pipeline import resume_filter
+
+    # shuffle-free input so any Exchange in the plan belongs to the join
+    df = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string"))
+        .alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("x").alias("text"))
+    metrics = spark.createDataFrame(
+        [(0, "ok", 1)], "bucket_id int, status string, attempt int")
+    plan = plan_of(resume_filter(df, metrics, num_buckets=8))
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    # the BIG side (left subtree, ':'-prefixed tree lines) must not
+    # shuffle; the tiny metrics side may (its distinct is one row/bucket)
+    left_subtree = [l for l in plan.splitlines() if l.lstrip().startswith(":")]
+    assert not any("Exchange" in l for l in left_subtree), plan
+    assert nodes(plan, "BroadcastExchange") == 1, plan
+
+
+def test_extract_query_scan_is_column_pruned(spark):
+    from readability_spark.ops.relational import extract_metadata
+
+    plan = plan_of(extract_metadata(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "text" not in cols or len(cols) <= 4, (
+        f"scan reads more columns than the query needs: {cols}")
+
+
+def test_topk_per_group_has_window_group_limit(spark):
+    from readability_spark.ops.relational import topk_per_group
+
+    plan = plan_of(topk_per_group(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
