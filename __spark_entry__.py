@@ -40,8 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import dedup, multimodal, relational
-    from readability_spark.ops import similarity, textstats
+    from readability_spark.ops import dedup, multimodal, pdfsource
+    from readability_spark.ops import relational, similarity, textstats
 
     return {
         # extraction engine (pandas-UDF core) with closed-form SQL oracles
@@ -82,11 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.fingerprint,
         # multimodal plumbing (mapInPandas; rows-only)
         "media_features": multimodal.media_features,
+        # PDF leg of the extraction tier (text → PDF → text, exact)
+        "pdf_extract": pdfsource.pdf_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import dedup, relational, similarity, textstats
+    from readability_spark.ops import dedup, pdfsource, relational
+    from readability_spark.ops import similarity, textstats
 
     return {
         "extract_articles": relational.EXTRACT_ARTICLES_SQL,
@@ -120,5 +123,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
+        "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         # media_features: no SQL analogue (mapInPandas; rows-only check)
     }
