@@ -66,8 +66,8 @@ def stringify(el: Optional[VElement]) -> str:
 def format_document(text: str) -> str:
     """format.ts:203-209."""
     text = _RE_NL2.sub("\n", text)
-    text = re.sub(r"^\n+", "", text)
-    text = re.sub(r"\n+$", "", text)
+    text = _RE_LEAD_NL.sub("", text)
+    text = _RE_TRAIL_NL.sub("", text)
     return text.strip()
 
 
@@ -158,6 +158,11 @@ _RE_SPACE_TAB = re.compile(r"[ \t]+")
 _RE_WS_END = re.compile(r"\s$")
 _RE_WS_START = re.compile(r"^\s")
 _PUNCT_NO_SPACE = frozenset(".,!?;:)")
+_RE_LEAD_NL = re.compile(r"^\n+")
+_RE_TRAIL_NL = re.compile(r"\n+$")
+_RE_LANG_CLASS = re.compile(r"language-([a-zA-Z0-9_-]+)")
+_RE_PRE_TRIM = re.compile(r"^\s*\n|\s+$")
+_RE_NL_RUN = re.compile(r"\n+")
 
 
 def _escape_markdown(text: str) -> str:
@@ -187,7 +192,11 @@ def _join_md_parts(parts: list[str]) -> str:
         if result == "":
             result = part
         else:
-            if not _RE_WS_END.search(result) and not _RE_WS_START.search(part):
+            # pos=len-1 pins `\s$` to the last char (a bare search scans
+            # the whole accumulated string — quadratic across joins);
+            # match() is exact for the `^\s` pattern (no MULTILINE)
+            if (not _RE_WS_END.search(result, len(result) - 1)
+                    and not _RE_WS_START.match(part)):
                 if part[0] not in _PUNCT_NO_SPACE:
                     result += " "
             result += part
@@ -259,10 +268,10 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
         raw = _all_text_content(code_child if code_child is not None else el)
         lang = ""
         cls = code_child.attrs.get("class", "") if code_child is not None else ""
-        m = re.search(r"language-([a-zA-Z0-9_-]+)", cls)
+        m = _RE_LANG_CLASS.search(cls)
         if m:
             lang = m.group(1)
-        cleaned = re.sub(r"^\s*\n|\s+$", "", raw)
+        cleaned = _RE_PRE_TRIM.sub("", raw)
         if lang in ("markdown", "md"):
             return f"````{lang}\n{cleaned}\n````"
         return f"```{lang}\n{cleaned}\n```"
@@ -303,7 +312,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
             if c.nodeType == "element" and c.tag in ("ul", "ol"):
                 nested = _convert_node(c, tag, depth + 1)
                 if nested:
-                    nested_parts.append(re.sub(r"\n+$", "", nested))
+                    nested_parts.append(_RE_TRAIL_NL.sub("", nested))
             else:
                 main_parts.append(_convert_node(c, tag, depth))
         main_content = _join_md_parts(main_parts).strip()
@@ -316,7 +325,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
 
     if tag == "a":
         href = el.attrs.get("href", "")
-        link_content = re.sub(r"\n+", " ", children_md).strip()
+        link_content = _RE_NL_RUN.sub(" ", children_md).strip()
         if (len(el.children) == 1 and el.children[0].nodeType == "element"
                 and el.children[0].tag == "img"):
             img = el.children[0]
