@@ -175,6 +175,9 @@ class _TreeBuilder(HTMLParser):
             self.current = el
             return
 
+        # first occurrence wins AND insertion order must match document
+        # order (attr order is serialized — a reversed comprehension breaks
+        # golden hashes)
         amap: dict = {}
         for k, v in attrs:
             if k not in amap:
