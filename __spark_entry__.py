@@ -88,8 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import dedup, pdfsource, relational
-    from readability_spark.ops import similarity, textstats
+    from readability_spark.ops import dedup, multimodal, pdfsource
+    from readability_spark.ops import relational, similarity, textstats
 
     return {
         "extract_articles": relational.EXTRACT_ARTICLES_SQL,
@@ -124,5 +124,5 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
-        # media_features: no SQL analogue (mapInPandas; rows-only check)
+        "media_features": multimodal.MEDIA_FEATURES_SQL,
     }

@@ -39,6 +39,10 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType()),
     T.StructField("n_bytes", T.IntegerType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
+    # formatted from the float64 values BEFORE the Arrow float32 cast —
+    # JVM format_string over the float column would format the rounded
+    # float32 and drift in the 6th decimal
+    T.StructField("feature_csv", T.StringType()),
 ])
 
 _FEATURE_DIM = 8
@@ -63,8 +67,13 @@ def decode_stub(payload: bytes) -> list[float]:
 
 def synth_media(spark: SparkSession, sf_dir: str, limit: int = 64) -> DataFrame:
     """Synthesize a media table from documents (payload = utf-8 bytes of the
-    text — an opaque blob as far as the pipeline is concerned)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(limit)
+    text — an opaque blob as far as the pipeline is concerned).
+
+    Selection is a doc_id predicate, NOT .limit(): a global limit funnels
+    through one partition and picks nondeterministic rows; the filter is
+    deterministic and pushes down to the scan."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < limit))
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"))
@@ -83,12 +92,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats = pdf["payload"].map(decode_stub)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(
                     lambda b: len(b) if b is not None else 0),
-                "feature": pdf["payload"].map(decode_stub),
+                "feature": feats,
+                "feature_csv": feats.map(
+                    lambda fs: ",".join("%.6f" % f for f in fs)),
             })
 
     return media.select("media_id", "kind", "payload").mapInPandas(
@@ -96,19 +108,41 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: synth media → binary features; verified rows-only
-    (the mapInPandas stage is not SQL-expressible).
+    """End-to-end: synth media → binary features, exactly oracled.
 
     The gate-facing projection serializes the vector as a fixed-format CSV
     string — array<float> cells are unsortable by the driver's pandas
     canonicalizer; ``extract_features`` keeps the array for internal use.
+    The deterministic stub decode is md5-derived, so the whole mapInPandas
+    path (synth → binary payload → Arrow batches → feature) is reproduced
+    in SQL: byte i of md5(payload) / 255 printf'd identically (verified:
+    DuckDB printf and Python %-format agree on all 256 byte values).
     """
     feats = extract_features(synth_media(spark, sf_dir))
     return (
-        feats.select(
-            "media_id", "kind", "n_bytes",
-            F.array_join(
-                F.transform("feature", lambda x: F.format_string("%.6f", x)),
-                ",").alias("feature_csv"))
+        feats.select("media_id", "kind", "n_bytes", "feature_csv")
         .orderBy("media_id")
     )
+
+
+def _media_features_sql(limit: int = 64) -> str:
+    from .common import HEX
+
+    def byte_expr(i: int) -> str:
+        return (f"((instr('{HEX}', substr(md5(text), {2 * i + 1}, 1)) - 1)"
+                f" * 16 + "
+                f"(instr('{HEX}', substr(md5(text), {2 * i + 2}, 1)) - 1))")
+
+    csv = " || ',' || ".join(
+        f"printf('%.6f', CAST({byte_expr(i)} AS DOUBLE) / 255.0)"
+        for i in range(_FEATURE_DIM))
+    return f"""
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       {csv} AS feature_csv
+FROM documents WHERE doc_id < {limit} ORDER BY media_id
+"""
+
+
+MEDIA_FEATURES_SQL = _media_features_sql()
