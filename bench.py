@@ -109,6 +109,10 @@ def main() -> None:
             # count() forces full evaluation without driver-side collect
             qs[name](spark, SF_DIR).count()
             queries[name] = round(time.time() - t0, 3)
+            # measurement hygiene: no query's cache (e.g. dedup_near's
+            # persisted signature table) may occupy memory while the next
+            # query is timed
+            spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

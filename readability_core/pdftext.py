@@ -33,7 +33,10 @@ import zlib
 # tempered: the innermost dict immediately before `stream` (no nested <<)
 _RE_STREAM = re.compile(
     rb"<<((?:(?!<<|>>).)*)>>\s*stream\r?\n(.*?)endstream", re.S)
-_RE_LENGTH = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only: `/Length 12 0 R` is an indirect reference — slicing
+# to 12 bytes would silently drop the stream; the EOL-strip fallback handles
+# indirect lengths instead
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _RE_BT = re.compile(rb"BT(.*?)ET", re.S)
 # (literal) Tj | <hex> Tj | [array] TJ  — ' and " (show-with-spacing) too
 _RE_SHOW = re.compile(
@@ -63,9 +66,12 @@ def _unescape_literal(raw: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():                      # octal \ddd (1-3 digits)
+        elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+            # octal \ddd (1-3 OCTAL digits — \8 and \9 are stray
+            # backslashes per spec, int(_, 8) would crash on them)
             j = i + 1
-            while j < min(i + 4, n) and raw[j:j + 1].isdigit():
+            while (j < min(i + 4, n)
+                   and b"0" <= raw[j:j + 1] <= b"7"):
                 j += 1
             out.append(int(raw[i + 1:j], 8) & 0xFF)
             i = j

@@ -146,7 +146,9 @@ def extract_content(html: str, url: str, with_context: bool = False,
         "title": snapshot["title"] or "",
         "content": md,
         "context": {
-            "breadcrumb": (" > ".join(i["label"] for i in breadcrumb["items"])
+            # `... || null`: an empty joined string maps to null (cli.js:280)
+            "breadcrumb": ((" > ".join(i["label"]
+                                       for i in breadcrumb["items"]) or None)
                            if breadcrumb else None),
             "section": "main" if structure["mainContent"] else "unknown",
             "surroundingNavigation": [
@@ -218,7 +220,9 @@ def ai_summary(html: str, url: str,
         "summary": (md[:200] + "..." if root is not None else ""),
         "mainTopics": [],          # structure.sections is never set — quirk
         "navigationSummary": {
-            "breadcrumb": (" > ".join(i["label"] for i in breadcrumb["items"])
+            # `... || null` (cli.js:345): empty joined string maps to null
+            "breadcrumb": ((" > ".join(i["label"]
+                                       for i in breadcrumb["items"]) or None)
                            if breadcrumb else None),
             "sections": 0,         # structure.sections quirk again
             "hasTableOfContents": any(n["type"] == "toc" for n in navs),

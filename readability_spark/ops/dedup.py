@@ -318,6 +318,7 @@ ORDER BY doc_a, doc_b
 # --- composed near-dedup: LSH candidates → exact Jaccard verify -----------------
 
 NEAR_DUP_THRESHOLD = 0.5
+_NEAR_DEDUP_CACHE: list = []   # most recent persisted signature table
 
 
 def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,12 +338,19 @@ def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    # DataFrame persistence is lazily consumed by the returned plan, so it
+    # can't be unpersisted here; bound the leak to ONE resident table by
+    # evicting the previous call's cache (at real scale this table is a
+    # checkpointed artifact, not a session cache)
+    while _NEAR_DEDUP_CACHE:
+        _NEAR_DEDUP_CACHE.pop().unpersist()
     tbl = (
         _exploded_shingles(spark, sf_dir)
         .groupBy("doc_id")
         .agg(*_minhash_aggs(), F.collect_set("shingle").alias("ss"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _NEAR_DEDUP_CACHE.append(tbl)
     pairs = _band_pairs(tbl)
     a = tbl.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
     b = tbl.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))

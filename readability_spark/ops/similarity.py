@@ -102,9 +102,16 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str,
                     dim: int = EMB_DIM) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     sig = _plane_sig_expr(dim)
+    # fail loudly on a dim mismatch: out-of-range v[i] is NULL (ANSI off),
+    # which would silently collapse every vector into bucket 0 and turn
+    # the bucketed join into an all-pairs cross product.  The guard lives
+    # INSIDE the bucket expression so column pruning can't drop it.
+    bucket_expr = (f"if(size(embedding) >= {dim}, "
+                   f"({sig.replace('v[', 'embedding[')}), "
+                   f"raise_error('embedding narrower than dim={dim}'))")
     bucketed = emb.select(
         F.col("vec_id"), F.col("embedding"),
-        F.expr(sig.replace("v[", "embedding[")).alias("bucket"))
+        F.expr(bucket_expr).alias("bucket"))
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"),
         F.col("bucket"))

@@ -184,7 +184,13 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     # equivalent is reading back only the files this attempt created.
     from pyspark import StorageLevel
 
-    results = run_extraction(df, num_buckets, char_threshold)
+    # every output row carries its attempt: if a prior attempt crashed
+    # between the output write and the metrics write, resume reprocesses
+    # those buckets and output_path holds both copies — the attempt column
+    # makes the duplicates visible and filterable (keep max attempt per
+    # (conv_id, turn_idx)) instead of silently doubling downstream reads
+    results = run_extraction(df, num_buckets, char_threshold) \
+        .withColumn("attempt", F.lit(attempt))
     results.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         results.write.format(fmt).mode("append").save(output_path)

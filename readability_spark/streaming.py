@@ -106,8 +106,6 @@ def stream_sessionize(events: DataFrame,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_us = gap_minutes * 60 * 1_000_000
-
     def _emit(user_id, start, last, n, cents):
         return pd.DataFrame({
             "user_id": pd.Series([user_id], dtype="int64"),
@@ -135,7 +133,13 @@ def stream_sessionize(events: DataFrame,
         for ts, val in zip(batch["ts"], batch["value"]):
             t = int(ts.value // 1000)                     # ns → µs
             c = int(math.floor(float(val) * 100))         # invariant 3
-            if last is not None and t - last > gap_us:
+            # gap compares SECOND-truncated stamps — the batch twin uses
+            # unix_timestamp() diffs, which drop sub-second components; a
+            # µs-precision compare would split (1800s, 1801s) gaps that
+            # batch sessionize keeps together
+            if (last is not None
+                    and t // 1_000_000 - last // 1_000_000
+                    > gap_minutes * 60):
                 closed.append((start, last, n, cents))
                 start, n, cents = None, 0, 0
             if start is None:

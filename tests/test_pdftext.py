@@ -53,6 +53,21 @@ class TestSpecPaths:
                + content + b"\nendstream endobj")
         assert extract_pdf_text(pdf) == "deflated"
 
+    def test_stray_backslash_before_non_octal_digit(self):
+        # \8 and \9 are NOT octal escapes — the backslash is stray and
+        # dropped per spec (this crashed with int(_, 8) before the fix)
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length 1 >> stream\n"
+               b"BT (a\\8b \\9 \\778) Tj ET\nendstream endobj")
+        assert extract_pdf_text(pdf) == "a8b 9 \x3f8"  # \77 = '?', then '8'
+
+    def test_indirect_length_falls_back_to_eol_strip(self):
+        # `/Length 5 0 R` is an indirect reference: slicing to 5 bytes
+        # would kill the stream; the single-EOL-strip fallback decodes it
+        content = zlib.compress(b"BT (indirect) Tj ET")
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length 5 0 R /Filter /FlateDecode >>"
+               b" stream\n" + content + b"\nendstream endobj")
+        assert extract_pdf_text(pdf) == "indirect"
+
     def test_degrades_silently(self):
         assert extract_pdf_text(b"not a pdf") == ""
         assert extract_pdf_text(b"") == ""
