@@ -97,3 +97,16 @@ def test_topk_per_group_has_window_group_limit(spark):
 
     plan = plan_of(topk_per_group(spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_near_dedup_reads_signature_table_from_cache(spark):
+    from readability_spark.ops.dedup import near_dedup
+
+    df = near_dedup(spark, SF)
+    df.count()     # materialize the persisted signature table
+    plan = plan_of(df)
+    # pair generation + both join sides must read the cache, not re-explode
+    # (the one parquet scan in the text lives INSIDE the InMemoryRelation's
+    # stored build plan, not as a live consumer)
+    assert nodes(plan, "InMemoryTableScan") == 3, plan
+    spark.catalog.clearCache()
