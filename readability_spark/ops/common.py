@@ -32,10 +32,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # dialects (same character set as Java \s, so Spark outputs are unchanged).
 
 # Spark SQL string literals unescape one level: '\\t' in the SQL text → \t
-# regex escape.  The Python constant therefore carries doubled backslashes.
-_WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0b]+"
+# regex escape.  The Python constants therefore carry doubled backslashes.
+# The bare char sets are exported so other char classes (e.g. textstats'
+# BPE-ish negated class) build on the SAME set in both dialects.
+WS_CHARS_SPARK = " \\\\t\\\\n\\\\r\\\\f\\\\x0b"
 # DuckDB string literals are verbatim: \t reaches RE2 as the two chars \ t.
-_WS_CLASS_SQL = "[ \\t\\n\\r\\f\\x0b]+"
+WS_CHARS_SQL = " \\t\\n\\r\\f\\x0b"
+_WS_CLASS_SPARK = f"[{WS_CHARS_SPARK}]+"
+_WS_CLASS_SQL = f"[{WS_CHARS_SQL}]+"
 
 
 def tokens_col(text_col: str = "text"):

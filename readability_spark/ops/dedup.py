@@ -118,9 +118,14 @@ LSH_BANDS = 4  # 2 minhashes per band
 
 
 def _shingle_expr() -> str:
-    """3-token shingles of the token array (empty when < 3 tokens)."""
-    return ("transform(sequence(0, greatest(size(toks) - 3, -1)), "
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")
+    """3-token shingles of the token array — GENUINELY empty when < 3
+    tokens.  The guard lives in the expression itself: sequence(0, -1)
+    would DESCEND ([0, -1]) and fabricate phantom shingles from NULL /
+    negative indexing, so callers must not rely on pre-filters alone."""
+    return ("case when size(toks) >= 3 then "
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+            "else array() end")
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

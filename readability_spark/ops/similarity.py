@@ -8,8 +8,13 @@
   inside buckets only.  At 10^9 vectors the bucket join replaces the
   all-pairs cross product.
 
-Outputs are (query_id, rank, neighbor_id) — integers only — so the DuckDB
-oracle (list_cosine_similarity) matches regardless of float summation order.
+Outputs are (query_id, rank, neighbor_id) — integers only — but the ranks
+derive from float comparisons, so the oracle must compute bit-identical
+cosines: the SQL spells the dot/norm sums as explicit left-associative
++-chains over double-cast elements, the same order as Spark's aggregate()
+fold (x+0.0 == x exactly, so dropping the fold's zero seed is safe).  A
+library cosine (list_cosine_similarity) could differ in the last ulp and
+flip near-tied ranks between engines.
 """
 
 from __future__ import annotations
@@ -21,6 +26,8 @@ from .common import table
 
 N_QUERIES = 5
 TOP_K = 5
+EMB_DIM = 64   # testdata embeddings width; operators take dim= to override —
+               # no driver-side .first() probe (that would collect at scale)
 
 _DOT = ("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * "
         "cast(y as double)), 0D, (acc, v) -> acc + v)")
@@ -54,13 +61,28 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COSINE_TOPK_SQL = f"""
+def _dot_chain_sql(x: str, y: str, dim: int) -> str:
+    """Left-associative Σ x[i]·y[i] over double casts — the exact order and
+    arithmetic of Spark's aggregate(zip_with(...)) fold (1-indexed)."""
+    return " + ".join(
+        f"(CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1))
+
+
+def _cos_sql(x: str, y: str, dim: int) -> str:
+    return (f"(({_dot_chain_sql(x, y, dim)}) / "
+            f"(sqrt({_dot_chain_sql(x, x, dim)}) * "
+            f"sqrt({_dot_chain_sql(y, y, dim)})))")
+
+
+def _cosine_topk_sql() -> str:
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS a
   FROM embeddings WHERE vec_id < {N_QUERIES}
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.a, e.embedding) AS cos
+         {_cos_sql('q.a', 'e.embedding', EMB_DIM)} AS cos
   FROM embeddings e CROSS JOIN q
 ), ranked AS (
   SELECT query_id, neighbor_id,
@@ -73,11 +95,12 @@ FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
+
+COSINE_TOPK_SQL = _cosine_topk_sql()
+
 # --- sign-LSH bucketed variant (scale path; exact DuckDB oracle) -------------
 
 N_PLANES = 8
-EMB_DIM = 64   # testdata embeddings width; pass dim= to override — no
-               # driver-side .first() probe (that would be a collect at scale)
 
 
 def _plane_sig_expr(dim: int, base: int = 0) -> str:
@@ -131,7 +154,7 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str,
 
 def _lsh_topk_sql() -> str:
     """DuckDB mirror: identical signature expression (1-indexed arrays),
-    list_cosine_similarity re-rank inside buckets only."""
+    bit-identical explicit-chain cosine re-rank inside buckets only."""
     sig = _plane_sig_expr(EMB_DIM, base=1).replace("v[", "embedding[")
     return f"""
 WITH b AS (
@@ -141,7 +164,7 @@ WITH b AS (
   WHERE vec_id < {N_QUERIES}
 ), scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.a, e.embedding) AS cos
+         {_cos_sql('q.a', 'e.embedding', EMB_DIM)} AS cos
   FROM b e JOIN q ON e.bucket = q.bucket
 ), ranked AS (
   SELECT query_id, neighbor_id,

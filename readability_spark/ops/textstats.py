@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, md5_prefix_int_expr, table, tokens_col
+from .common import (
+    SQL_TOKENS,
+    WS_CHARS_SPARK,
+    WS_CHARS_SQL,
+    md5_prefix_int_expr,
+    table,
+    tokens_col,
+)
 
 # --- language ID (stopword-hit heuristic) ------------------------------------
 
@@ -126,7 +133,11 @@ FROM f ORDER BY doc_id
 
 # --- token counting -------------------------------------------------------------
 
-_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+# the negated class spells out the whitespace set (common.py) — a bare \s
+# here would include VT on the Java side but not in RE2, silently skewing
+# the oracle on VT-containing text
+_BPE_RE = f"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS_SPARK}]"
+_BPE_RE_SQL = f"[a-z]+|[0-9]+|[^a-z0-9{WS_CHARS_SQL}]"
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,16 +148,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.expr("size(filter(split(lower(trim(text)), '\\\\s+'), "
-                   "x -> x <> ''))").alias("ws_tokens"),
+            F.size(tokens_col("text")).alias("ws_tokens"),
             F.expr(f"size(regexp_extract_all(lower(text), '{_BPE_RE}', 0))")
             .alias("bpe_tokens"),
             F.length("text").alias("n_chars"))
         .orderBy("doc_id")
     )
-
-
-_BPE_RE_SQL = _BPE_RE.replace("\\\\", "\\")   # single backslash for DuckDB
 
 TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,

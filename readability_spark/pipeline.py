@@ -25,7 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schema import METRICS_SCHEMA
 from .udfs import extract_udf, make_extract_udf
 
 # Arrow rows/batch. Small batches matter enormously for UDF throughput:
@@ -113,9 +112,16 @@ def run_extraction(df: DataFrame, num_buckets: int | None = None,
     return out
 
 
-def derive_metrics(results: DataFrame, attempt: int = 1) -> DataFrame:
+def derive_metrics(results: DataFrame, attempt: int = 1,
+                   num_buckets: int | None = None) -> DataFrame:
     """Per-bucket lineage/metrics rows (aggregates only small columns —
-    partial aggregation happens map-side before the tiny final shuffle)."""
+    partial aggregation happens map-side before the tiny final shuffle).
+
+    A bucket whose every row errored is marked ``failed`` so a resume run
+    actually reprocesses it (status='ok' would pin a poisoned shard as
+    done forever).  ``n_buckets`` records the salt modulus the run used —
+    a resume MUST reuse it, or the anti-join compares incompatible bucket
+    ids (see run_pipeline)."""
     return (
         results.groupBy("bucket_id")
         .agg(
@@ -130,8 +136,12 @@ def derive_metrics(results: DataFrame, attempt: int = 1) -> DataFrame:
             F.min("conv_id").alias("conv_id_min"),
             F.max("conv_id").alias("conv_id_max"),
         )
-        .withColumn("status", F.lit("ok"))
+        .withColumn(
+            "status",
+            F.when(F.col("n_errors") < F.col("n_turns"), F.lit("ok"))
+            .otherwise(F.lit("failed")))
         .withColumn("attempt", F.lit(attempt))
+        .withColumn("n_buckets", F.lit(num_buckets).cast("int"))
     )
 
 
@@ -164,16 +174,27 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     if num_buckets is None:
         num_buckets = n_buckets_for(spark)
 
+    attempt = 1
     if resume:
+        # only a MISSING metrics table means "fresh run"; any other failure
+        # (corrupt table, FS error) must propagate — swallowing it would
+        # restart at attempt=1 and collide with existing attempt-1 rows
         try:
             metrics_prev = spark.read.format(fmt).load(metrics_path)
-            df = resume_filter(df, metrics_prev, num_buckets).drop("bucket_id")
-            attempt = int(
-                metrics_prev.agg(F.max("attempt")).first()[0] or 0) + 1
         except Exception:
-            attempt = 1
-    else:
-        attempt = 1
+            metrics_prev = None
+        if metrics_prev is not None:
+            prev = metrics_prev.agg(
+                F.max("attempt").alias("a"),
+                F.max("n_buckets").alias("b")).first()
+            attempt = int(prev["a"] or 0) + 1
+            # the salt modulus is part of the lineage: resuming with a
+            # different bucket count would anti-join incompatible bucket
+            # ids and silently drop never-processed rows
+            if prev["b"] is not None:
+                num_buckets = int(prev["b"])
+            df = resume_filter(df, metrics_prev, num_buckets) \
+                .drop("bucket_id")
 
     # One materialization of the extraction UDF: persist the results, write
     # them, then derive THIS attempt's metrics from the cache and append to
@@ -193,14 +214,16 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         .withColumn("attempt", F.lit(attempt))
     results.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        results.write.format(fmt).mode("append").save(output_path)
+        # a non-resume run is a fresh job: BOTH tables start over (append
+        # output + overwrite metrics would leave stale rows described by
+        # nothing, all tagged attempt=1)
+        mode = "append" if resume else "overwrite"
+        results.write.format(fmt).mode(mode).save(output_path)
         metrics = derive_metrics(
             results.select("bucket_id", "page_type", "error", "node_count",
-                           "char_yield", "top_score", "conv_id"), attempt)
-        # append per-attempt lineage rows when resuming; a non-resume run is
-        # a fresh job, so its metrics table starts over
-        metrics.write.format(fmt).mode(
-            "append" if resume else "overwrite").save(metrics_path)
+                           "char_yield", "top_score", "conv_id"),
+            attempt, num_buckets)
+        metrics.write.format(fmt).mode(mode).save(metrics_path)
     finally:
         results.unpersist()
 

@@ -172,6 +172,9 @@ def run_stream(spark: SparkSession, input_path: str, output_path: str,
     return (
         extracted.writeStream
         .format("parquet")
+        # the salt column IS the sink partitioning (stream_extract injects
+        # no shuffle); consumers get pruning on bucket_id
+        .partitionBy("bucket_id")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")

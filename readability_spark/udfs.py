@@ -95,8 +95,6 @@ def make_extract_udf(char_threshold: int = 500, include_html: bool = False,
     return _udf
 
 
-STRUCTURE_SCHEMA = None  # set below (import-order: avoid schema cycle)
-
 from pyspark.sql import types as T  # noqa: E402
 
 STRUCTURE_SCHEMA = T.StructType([

@@ -35,6 +35,28 @@ def test_tokenization_parity_spark_vs_duckdb(spark, s):
         f"tokenization diverged on {s!r}: spark={srow[0]} duckdb={drow[0]}")
 
 
+@pytest.mark.parametrize("s", TRICKY)
+def test_bpe_regex_parity_spark_vs_duckdb(spark, s):
+    from readability_spark.ops.textstats import _BPE_RE, _BPE_RE_SQL
+    srow = (spark.createDataFrame([(s,)], "text string")
+            .selectExpr(f"size(regexp_extract_all(lower(text), "
+                        f"'{_BPE_RE}', 0)) AS n").first())
+    con = duckdb.connect()
+    drow = con.execute(
+        f"SELECT len(regexp_extract_all(lower(?), '{_BPE_RE_SQL}', 0))",
+        [s]).fetchone()
+    assert srow["n"] == drow[0], f"BPE tokenization diverged on {s!r}"
+
+
+def test_shingle_expr_empty_for_short_docs(spark):
+    from readability_spark.ops.dedup import _shingle_expr
+    rows = (spark.createDataFrame(
+        [(["a"],), (["a", "b"],), (["a", "b", "c"],), ([],)],
+        "toks array<string>")
+        .selectExpr(f"{_shingle_expr()} AS sh").collect())
+    assert [list(r["sh"]) for r in rows] == [[], [], ["a b c"], []]
+
+
 def test_media_features_gate_canonicalizable(spark):
     """The gate projection must survive the driver's pandas sort_values —
     no array cells — and be deterministic."""

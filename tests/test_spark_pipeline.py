@@ -110,6 +110,49 @@ def test_salting_spreads_skewed_conversations(spark):
     assert max(c["count"] for c in counts) < 500 * 0.3
 
 
+def test_all_error_bucket_is_failed_and_reprocessed(spark):
+    """A bucket whose every row errored must not be pinned as done: its
+    lineage row says failed, and resume_filter re-runs it."""
+    results = spark.createDataFrame(
+        [(0, "article", None, 3, 100, 1.0, "c0"),
+         (0, "other", None, 0, 0, 0.0, "c1"),
+         (1, "other", "exception:X", 0, 0, 0.0, "c2"),
+         (1, "other", "exception:X", 0, 0, 0.0, "c3")],
+        "bucket_id int, page_type string, error string, node_count int, "
+        "char_yield int, top_score double, conv_id string")
+    m = derive_metrics(results, attempt=1, num_buckets=4)
+    rows = {r["bucket_id"]: r["status"] for r in m.collect()}
+    assert rows == {0: "ok", 1: "failed"}
+
+
+def test_resume_pins_bucket_count_from_metrics(spark, tmp_path):
+    """A resume run must reuse the original salt modulus — a different
+    num_buckets would anti-join incompatible bucket ids."""
+    from readability_spark.pipeline import run_pipeline
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30)
+    tr = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 5).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 5).cast("int").alias("turn_idx"),
+        F.expr("concat('<html><body><article><p>', text, "
+               "'</p></article></body></html>')").alias("text"))
+    tr.write.parquet(f"{d}/in")
+    r1 = run_pipeline(spark, f"{d}/in", f"{d}/out", f"{d}/met",
+                      num_buckets=4)
+    assert r1["num_buckets"] == 4 and r1["rows_new"] == 30
+    # resume with a DIFFERENT requested bucket count: pinned back to 4,
+    # nothing reprocessed
+    r2 = run_pipeline(spark, f"{d}/in", f"{d}/out", f"{d}/met",
+                      num_buckets=8)
+    assert r2["num_buckets"] == 4
+    assert r2["rows_new"] == 0 and r2["rows"] == 30
+    assert r2["attempt"] == 2
+
+
 def test_metrics_and_resume(spark):
     df = generate_transcripts(spark, n_convs=20, seed=11, use_fixtures=False).cache()
     out = run_extraction(df, num_buckets=4)
