@@ -635,7 +635,7 @@ def extract_sections_root(root: AriaNode) -> list[dict]:
                 "level": level,
                 "children": [],
             }
-            eid = el.id or el.attrs.get("id")
+            eid = el.id    # el.id IS attrs.get("id", ""); no fallback exists
             if eid:
                 new_section["id"] = eid
             while stack and stack[-1][1] >= level:

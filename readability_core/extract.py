@@ -117,9 +117,17 @@ def parse_guarded(html: Optional[str], base_uri: str = "about:blank",
     error = None
     if html is None:
         html = ""
+    # byte-accurate guard: a CJK/emoji payload is up to 4 bytes/char, so a
+    # char-length check alone would admit ~4x the budget.  The encode only
+    # runs when the char count could possibly exceed the cap.
     if len(html) > MAX_HTML_BYTES:
-        html = html[:MAX_HTML_BYTES]
+        html = html[:MAX_HTML_BYTES]   # cheap pre-trim: ≥1 byte per char
         error = "truncated:max_html_bytes"
+    if len(html) * 4 > MAX_HTML_BYTES:
+        encoded = html.encode("utf-8", "replace")
+        if len(encoded) > MAX_HTML_BYTES:
+            html = encoded[:MAX_HTML_BYTES].decode("utf-8", "ignore")
+            error = "truncated:max_html_bytes"
     doc = (parser or parse_html)(html, base_uri)
     if doc.depth_capped:
         error = (error + ";" if error else "") + "depth_capped:max_dom_depth"

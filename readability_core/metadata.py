@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .dom import get_elements_by_tag_name, get_inner_text
+from .dom import get_elements_by_tag_name, get_inner_text, js_trim
 from .vdom import VDocument
 
 
@@ -75,7 +75,8 @@ def extract_links(doc: VDocument) -> list[dict]:
         if href and not href.lower().startswith("javascript:"):
             links.append({
                 "href": href,
-                "text": get_inner_text(el).strip(),
+                # JS .trim() (extract.ts:601) — strips ﻿, keeps \x1c-1f
+                "text": js_trim(get_inner_text(el)),
                 "score": 0.0,
             })
     return links

@@ -34,9 +34,11 @@ import zlib
 _RE_STREAM = re.compile(
     rb"<<((?:(?!<<|>>).)*)>>\s*stream\r?\n(.*?)endstream", re.S)
 # direct /Length only: `/Length 12 0 R` is an indirect reference — slicing
-# to 12 bytes would silently drop the stream; the EOL-strip fallback handles
-# indirect lengths instead
-_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# to the object number would silently drop the stream; the EOL-strip
+# fallback handles indirect lengths instead.  (?!\d) forces the FULL number
+# before the indirect-ref lookahead runs — without it the regex backtracks
+# to a digit prefix ('1' of '12') where the lookahead no longer matches.
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _RE_BT = re.compile(rb"BT(.*?)ET", re.S)
 # (literal) Tj | <hex> Tj | [array] TJ  — ' and " (show-with-spacing) too
 _RE_SHOW = re.compile(

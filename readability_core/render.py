@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .dom import js_trim
+from .dom import JS_WS_CHARS, js_trim
 from .vdom import VElement, VNode
 
 # ---------------------------------------------------------------------------
@@ -68,7 +68,7 @@ def format_document(text: str) -> str:
     text = _RE_NL2.sub("\n", text)
     text = _RE_LEAD_NL.sub("", text)
     text = _RE_TRAIL_NL.sub("", text)
-    return text.strip()
+    return js_trim(text)
 
 
 def extract_text_content(el: Optional[VElement]) -> str:
@@ -155,8 +155,10 @@ _MD_IGNORED = frozenset(
      "iframe", "object", "embed", "applet", "link", "meta", "title", "svg"])
 _RE_MD_ESCAPE = re.compile(r"([*_`\[\]\\])")
 _RE_SPACE_TAB = re.compile(r"[ \t]+")
-_RE_WS_END = re.compile(r"\s$")
-_RE_WS_START = re.compile(r"^\s")
+# JS /\s/ — same set as String.trim (incl. \ufeff, excl. \x1c-\x1f);
+# Python's \s differs at exactly those boundaries
+_RE_WS_END = re.compile(f"[{re.escape(JS_WS_CHARS)}]$")
+_RE_WS_START = re.compile(f"^[{re.escape(JS_WS_CHARS)}]")
 _PUNCT_NO_SPACE = frozenset(".,!?;:)")
 _RE_LEAD_NL = re.compile(r"^\n+")
 _RE_TRAIL_NL = re.compile(r"\n+$")
@@ -187,7 +189,7 @@ def _join_md_parts(parts: list[str]) -> str:
     """markdown.ts:27-56 — smart inline spacing."""
     result = ""
     for part in parts:
-        if not part or part.isspace():
+        if not part or js_trim(part) == "":
             continue
         if result == "":
             result = part
@@ -210,8 +212,29 @@ def _all_text_content(node: VNode) -> str:
 
 
 def _convert_node(node: VNode, parent_tag: Optional[str] = None,
-                  depth: int = 0) -> str:
-    """markdown.ts:66-438."""
+                  depth: int = 0,
+                  memo: Optional[dict] = None) -> str:
+    """markdown.ts:66-438.
+
+    ``memo`` caches results per (node, parent_tag, depth): the eager
+    children pass and the ul/ol/li/table branch re-conversions would
+    otherwise recompute whole subtrees per nesting level — measured
+    exponential (12 nested lists took 127s) despite the depth cap.
+    Output-identical: _convert_node is pure in (node, parent_tag,
+    depth) and nodes are immutable during rendering."""
+    if memo is None:
+        memo = {}
+    key = (id(node), parent_tag, depth)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    res = _convert_node_body(node, parent_tag, depth, memo)
+    memo[key] = res
+    return res
+
+
+def _convert_node_body(node: VNode, parent_tag: Optional[str],
+                       depth: int, memo: dict) -> str:
     if node.nodeType == "text":
         if parent_tag in ("pre", "code"):
             return node.text
@@ -228,10 +251,10 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
 
     child_depth = depth + 1 if tag in ("ul", "ol", "blockquote") else depth
     children_results = [
-        _convert_node(c, tag, child_depth) for c in el.children
+        _convert_node(c, tag, child_depth, memo) for c in el.children
     ]
     children_md = _join_md_parts(children_results)
-    trimmed = children_md.strip()
+    trimmed = js_trim(children_md)
 
     if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
         return f"{'#' * int(tag[1])} {trimmed}\n\n"
@@ -255,7 +278,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
             needs_pad = (
                 content.startswith("`") or content.endswith("`")
                 or bool(re.fullmatch(r"`+", content))
-                or not content.strip()
+                or not js_trim(content)
             )
             final = f" {content} " if needs_pad else content
             return f"{delim}{final}{delim}"
@@ -277,29 +300,29 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
         return f"```{lang}\n{cleaned}\n```"
 
     if tag == "blockquote":
-        content = children_md.strip()
+        content = js_trim(children_md)
         if not content:
             return ""
         quoted = [
-            ">" if line.strip() == "" else f"> {line}"
+            ">" if js_trim(line) == "" else f"> {line}"
             for line in content.split("\n")
         ]
         return "\n".join(quoted) + "\n\n"
 
     if tag in ("ul", "ol"):
         items = [
-            _convert_node(c, tag, depth + 1)
+            _convert_node(c, tag, depth + 1, memo)
             for c in el.children
             if c.nodeType == "element" and c.tag == "li"
         ]
-        items = [it for it in items if it.strip() != ""]
+        items = [it for it in items if js_trim(it) != ""]
         if not items:
             return ""
         list_content = "\n".join(items)
         indent = "  " * max(0, depth - 1)
         if indent:
             list_content = "\n".join(
-                f"{indent}{line}" if line.strip() else line
+                f"{indent}{line}" if js_trim(line) else line
                 for line in list_content.split("\n")
             )
         return list_content + "\n\n"
@@ -310,12 +333,12 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
         nested_parts: list[str] = []
         for c in el.children:
             if c.nodeType == "element" and c.tag in ("ul", "ol"):
-                nested = _convert_node(c, tag, depth + 1)
+                nested = _convert_node(c, tag, depth + 1, memo)
                 if nested:
                     nested_parts.append(_RE_TRAIL_NL.sub("", nested))
             else:
-                main_parts.append(_convert_node(c, tag, depth))
-        main_content = _join_md_parts(main_parts).strip()
+                main_parts.append(_convert_node(c, tag, depth, memo))
+        main_content = js_trim(_join_md_parts(main_parts))
         result = f"{marker} {main_content}"
         if nested_parts:
             if main_content:
@@ -325,13 +348,13 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
 
     if tag == "a":
         href = el.attrs.get("href", "")
-        link_content = _RE_NL_RUN.sub(" ", children_md).strip()
+        link_content = js_trim(_RE_NL_RUN.sub(" ", children_md))
         if (len(el.children) == 1 and el.children[0].nodeType == "element"
                 and el.children[0].tag == "img"):
             img = el.children[0]
             alt = img.attrs.get("alt", "")
             src = img.attrs.get("src", "")
-            display = alt if alt.strip() else src
+            display = alt if js_trim(alt) else src
             return f"[{display}]({href})"
         return f"[{link_content}]({href})"
 
@@ -341,7 +364,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
         title_attr = el.attrs.get("title")
         title = f' "{_escape_markdown(title_attr)}"' if title_attr else ""
         if parent_tag == "a":
-            return alt if alt.strip() else src
+            return alt if js_trim(alt) else src
         return f"![{alt}]({src}{title})"
 
     if tag == "hr":
@@ -360,7 +383,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
                  if c.nodeType == "element" and c.tag == name), None)
 
         def process_cell(cell: VElement) -> str:
-            return _convert_node(cell, cell.tag, depth + 1).strip()
+            return js_trim(_convert_node(cell, cell.tag, depth + 1, memo))
 
         thead = find_child(el, "thead")
         tbody = find_child(el, "tbody")
@@ -393,7 +416,7 @@ def _convert_node(node: VNode, parent_tag: Optional[str] = None,
         for row in body_rows:
             row += [""] * (max_cols - len(row))
             table_md += f"| {' | '.join(row)} |\n"
-        return f"{table_md.strip()}\n\n" if table_md else ""
+        return f"{js_trim(table_md)}\n\n" if table_md else ""
 
     if tag in _MD_IGNORED:
         return ""
@@ -409,5 +432,5 @@ def to_markdown(el: Optional[VElement]) -> str:
     if el is None:
         return ""
     md = _convert_node(el, None, 0)
-    md = md.strip()
+    md = js_trim(md)
     return _RE_NL3.sub("\n\n", md)

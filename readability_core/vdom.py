@@ -136,6 +136,7 @@ class _TreeBuilder(HTMLParser):
         self.doc = doc
         self.current: VElement = doc.document_element
         self.body_found = False
+        self.html_found = False
         # stack of open element tag names (excluding html/body sentinels)
         self.stack: list[VElement] = []
 
@@ -165,6 +166,7 @@ class _TreeBuilder(HTMLParser):
                 seen.add(k)
                 el.attrs[k] = v if v is not None else ""
         if tag == "html":
+            self.html_found = True
             self.current = doc.document_element
             return
         if tag == "body":
@@ -206,16 +208,24 @@ class _TreeBuilder(HTMLParser):
         self.current = parent if parent is not None else self.doc.document_element
 
     def handle_endtag(self, tag: str) -> None:
+        # htmlparser2's Parser emits close events only for MATCHED tags —
+        # a stray </html> or </body> with no corresponding open tag is
+        # ignored, never an unwind-everything (which would reattach all
+        # following content to the documentElement)
         if tag == "html":
+            if not self.html_found:
+                return
             # unwind everything; html close returns to documentElement
             while self.stack:
                 self._close_top()
             self.current = self.doc.document_element
             return
         if tag == "body":
+            if not self.body_found:
+                return
             while self.stack:
                 self._close_top()
-            self.current = self.doc.document_element if self.body_found else self.current
+            self.current = self.doc.document_element
             return
         if tag in VOID_ELEMENTS:
             if tag == "br":
@@ -269,11 +279,17 @@ SELF_CLOSING_TAGS = frozenset(
 
 
 def serialize_to_html(node: VNode) -> str:
-    """VDOM → HTML string (reference: src/parsers/htmlparser2.ts:140-181)."""
+    """VDOM → HTML string (reference: src/parsers/htmlparser2.ts:140-181).
+
+    Attribute values are emitted RAW: the reference's quote handling is
+    `value.replace(/"/g, '"')` (htmlparser2.ts:167) — a no-op replacing a
+    quote with a quote — and text nodes are raw too.  Quirk preserved per
+    invariant 4 (escaped serialization lives in render.to_html, which
+    mirrors format.ts's escapeHTML)."""
     if node.nodeType == "text":
         return node.text
     attrs = " ".join(
-        f'{k}="{v.replace(chr(34), "&quot;")}"' for k, v in node.attrs.items()
+        f'{k}="{v}"' for k, v in node.attrs.items()
     )
     astr = f" {attrs}" if attrs else ""
     if node.tag in SELF_CLOSING_TAGS and not node.children:

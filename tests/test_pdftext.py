@@ -60,12 +60,15 @@ class TestSpecPaths:
                b"BT (a\\8b \\9 \\778) Tj ET\nendstream endobj")
         assert extract_pdf_text(pdf) == "a8b 9 \x3f8"  # \77 = '?', then '8'
 
-    def test_indirect_length_falls_back_to_eol_strip(self):
-        # `/Length 5 0 R` is an indirect reference: slicing to 5 bytes
-        # would kill the stream; the single-EOL-strip fallback decodes it
+    @pytest.mark.parametrize("ref", [b"5 0 R", b"12 0 R", b"1234 0 R"])
+    def test_indirect_length_falls_back_to_eol_strip(self, ref):
+        # `/Length N 0 R` is an indirect reference: slicing to N (or to a
+        # backtracked digit PREFIX of N) would kill the stream; the
+        # single-EOL-strip fallback decodes it
         content = zlib.compress(b"BT (indirect) Tj ET")
-        pdf = (b"%PDF-1.4\n1 0 obj << /Length 5 0 R /Filter /FlateDecode >>"
-               b" stream\n" + content + b"\nendstream endobj")
+        pdf = (b"%PDF-1.4\n1 0 obj << /Length " + ref +
+               b" /Filter /FlateDecode >> stream\n" + content +
+               b"\nendstream endobj")
         assert extract_pdf_text(pdf) == "indirect"
 
     def test_degrades_silently(self):
