@@ -59,7 +59,6 @@ def ensure_bench_data(spark) -> int:
 def warm_workers(spark) -> None:
     """Spawn + warm every Python worker (imports, JIT) on a small slice so
     the measurement reflects steady-state throughput, not worker spawn."""
-    from pyspark.sql import functions as F
     from readability_spark.udfs import extract_udf
 
     df = spark.read.parquet(BENCH_DATA).limit(512).repartition(
@@ -104,10 +103,17 @@ def main() -> None:
     if not extract_only:
         import __spark_entry__ as entrymod
         qs = entrymod.queries()
+        from pyspark.sql import functions as F
+
         for name in OPS_QUERIES:
             t0 = time.time()
-            # count() forces full evaluation without driver-side collect
-            qs[name](spark, SF_DIR).count()
+            # force evaluation THROUGH every output column: a bare count()
+            # lets Catalyst prune projection-only queries (token_counts,
+            # lang_id) down to a parquet row-count — the exact pitfall the
+            # measurement rules call out for UDFs applies to expressions too
+            (qs[name](spark, SF_DIR)
+             .select(F.xxhash64(F.struct("*")).alias("h"))
+             .agg(F.expr("bit_xor(h)")).first())   # sum() overflows (ANSI)
             queries[name] = round(time.time() - t0, 3)
             # measurement hygiene: no query's cache (e.g. dedup_near's
             # persisted signature table) may occupy memory while the next

@@ -35,25 +35,13 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from readability_spark.pipeline import build_session, run_pipeline
 
-    from readability_spark.pipeline import (
-        DEFAULT_ARROW_BATCH,
-        PYTHON_SOCKET_BUFFER,
-        run_pipeline,
-    )
-
-    # session configs ride spark-submit --conf on a real cluster; set the
-    # pipeline-critical ones here as defaults for convenience
-    spark = (
-        SparkSession.builder.appName("readability-extract")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                str(DEFAULT_ARROW_BATCH))
-        .config("spark.buffer.size", str(PYTHON_SOCKET_BUFFER))
-        .getOrCreate()
-    )
+    # ONE source of truth for the pipeline-critical session config
+    # (AQE, Arrow batch size, python-worker socket buffer): hand-rolling
+    # the builder here drifted from build_session when levers changed.
+    # Master/memory/GC ride spark-submit --conf / --master on a cluster.
+    spark = build_session("readability-extract")
     spark.sparkContext.setLogLevel("WARN")
 
     stats = run_pipeline(

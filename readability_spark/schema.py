@@ -83,6 +83,8 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("avg_top_score", T.DoubleType()),
     T.StructField("conv_id_min", T.StringType()),
     T.StructField("conv_id_max", T.StringType()),
-    T.StructField("status", T.StringType()),
+    T.StructField("status", T.StringType()),     # ok | failed (all-error)
     T.StructField("attempt", T.IntegerType()),
+    T.StructField("n_buckets", T.IntegerType()),  # salt modulus of the run;
+                                                  # resume pins to it
 ])

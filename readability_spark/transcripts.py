@@ -131,8 +131,19 @@ def generate_transcripts(spark: SparkSession, n_convs: int = 200,
 def write_transcripts(spark: SparkSession, path: str, n_convs: int = 200,
                       seed: int = 42, use_fixtures: bool = True) -> str:
     """Materialize once as parquet (bench reads this, so generation cost
-    never pollutes throughput numbers)."""
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    never pollutes throughput numbers).
+
+    The cache key includes the generation parameters — a bare _SUCCESS
+    check would silently reuse a stale table when SPARK_GRAFT_BENCH_CONVS
+    (or seed/fixtures) changes."""
+    params = f"n_convs={n_convs} seed={seed} fixtures={use_fixtures}"
+    marker = os.path.join(path, "_PARAMS")
+    fresh = (os.path.exists(os.path.join(path, "_SUCCESS"))
+             and os.path.exists(marker)
+             and open(marker).read() == params)
+    if not fresh:
         generate_transcripts(spark, n_convs, seed, use_fixtures) \
             .repartition(32).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(params)
     return path

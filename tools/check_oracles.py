@@ -92,6 +92,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not produce a green "0 failures" run that
+        # validated nothing
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

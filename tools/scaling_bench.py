@@ -65,8 +65,14 @@ def run_at(cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--extract-only"],
         env=env, capture_output=True, text=True, timeout=3600, cwd=REPO)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        # surface the real error — a swallowed stderr plus an IndexError
+        # here would lose the whole multi-round run's context
+        raise RuntimeError(
+            f"bench.py failed at local[{cpus}] (rc={out.returncode}); "
+            f"stderr tail: {out.stderr.strip()[-800:]}")
+    return json.loads(lines[-1])
 
 
 HISTORY = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
@@ -188,7 +194,7 @@ repartitions ~uniformly regardless of conversation skew; extraction is
 per-turn embarrassingly parallel; the metrics groupBy aggregates map-side.
 Nothing in the plan serializes with executor count.  Session tuning that
 mattered on the way here (kept in build_session): small Arrow batches
-(128 rows — a 200MB pass-through dropped 36s → 2.3s vs the 10000-row
+(64 rows — a 200MB pass-through dropped 36s → 2.3s vs the 10000-row
 default), ParallelGC with a modest heap (G1 on 48g spent 765s in GC inside
 a 120s stage), links as parallel string arrays, extracted_html/aria opt-in.
 
