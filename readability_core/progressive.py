@@ -32,6 +32,7 @@ from typing import Any, Optional
 
 from .constants import DEFAULT_CHAR_THRESHOLD
 from .detect import analyze_page_structure, extract_document_content
+from .dom import JS_WS
 from .extract import extract_full
 from .render import to_html, to_markdown
 
@@ -229,8 +230,11 @@ def ai_summary(html: str, url: str,
             "hasSidebar": structure["sidebar"] is not None,
         },
         "contentStats": {
-            # JS split(/\s+/) keeps leading/trailing empty fields
-            "wordCount": len(re.split(r"\s+", md)) if root is not None else 0,
+            # JS split(/\s+/) keeps leading/trailing empty fields; the JS \s
+            # class differs from Python's re \s on U+FEFF and \x1c-\x1f, so
+            # split on the spelled-out set (dom.JS_WS) like render.py does
+            "wordCount": (len(re.split(f"[{JS_WS}]+", md))
+                          if root is not None else 0),
             "hasCode": "```" in md if root is not None else False,
         },
     }

@@ -80,7 +80,12 @@ def synth_media(spark: SparkSession, sf_dir: str, limit: int = 64) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kinds.alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        # coalesce BEFORE encode: a NULL text must become an empty payload
+        # on both engines, or the oracle's strlen(NULL)/md5(NULL) → NULL
+        # diverges from the stub's None→b'' guard (equivalence must be
+        # structural, not dependent on the testdata having no NULLs)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        .alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(64).alias("width"), F.lit(64).alias("height"),
@@ -129,9 +134,11 @@ def _media_features_sql(limit: int = 64) -> str:
     from .common import HEX
 
     def byte_expr(i: int) -> str:
-        return (f"((instr('{HEX}', substr(md5(text), {2 * i + 1}, 1)) - 1)"
-                f" * 16 + "
-                f"(instr('{HEX}', substr(md5(text), {2 * i + 2}, 1)) - 1))")
+        # coalesce mirrors synth_media's NULL→b'' payload normalization
+        return (f"((instr('{HEX}', substr(md5(coalesce(text, '')), "
+                f"{2 * i + 1}, 1)) - 1) * 16 + "
+                f"(instr('{HEX}', substr(md5(coalesce(text, '')), "
+                f"{2 * i + 2}, 1)) - 1))")
 
     csv = " || ',' || ".join(
         f"printf('%.6f', CAST({byte_expr(i)} AS DOUBLE) / 255.0)"
@@ -139,7 +146,7 @@ def _media_features_sql(limit: int = 64) -> str:
     return f"""
 SELECT doc_id AS media_id,
        (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
-       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(strlen(coalesce(text, '')) AS INTEGER) AS n_bytes,
        {csv} AS feature_csv
 FROM documents WHERE doc_id < {limit} ORDER BY media_id
 """

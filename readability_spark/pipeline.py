@@ -117,19 +117,28 @@ def derive_metrics(results: DataFrame, attempt: int = 1,
     """Per-bucket lineage/metrics rows (aggregates only small columns —
     partial aggregation happens map-side before the tiny final shuffle).
 
-    A bucket whose every row errored is marked ``failed`` so a resume run
-    actually reprocesses it (status='ok' would pin a poisoned shard as
-    done forever).  ``n_buckets`` records the salt modulus the run used —
-    a resume MUST reuse it, or the anti-join compares incompatible bucket
-    ids (see run_pipeline)."""
+    A bucket whose every row FATALLY errored is marked ``failed`` so a
+    resume run actually reprocesses it (status='ok' would pin a poisoned
+    shard as done forever).  Only ``exception:``-prefixed errors are fatal:
+    the error column also carries non-fatal warning markers
+    (``truncated:max_html_bytes``, ``depth_capped:max_dom_depth``,
+    extract.py:125-133) on rows that extracted fine — counting those as
+    errors would mark an all-truncated bucket permanently failed, so every
+    resume would reprocess it and append another full copy of its output,
+    never converging.  Warnings are surfaced separately as ``n_warnings``.
+    ``n_buckets`` records the salt modulus the run used — a resume MUST
+    reuse it, or the anti-join compares incompatible bucket ids (see
+    run_pipeline)."""
+    fatal = F.col("error").startswith("exception:")
     return (
         results.groupBy("bucket_id")
         .agg(
             F.count("*").alias("n_turns"),
             F.sum(F.when(F.col("page_type") == "article", 1).otherwise(0))
             .alias("n_articles"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
-            .alias("n_errors"),
+            F.sum(F.when(fatal, 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("error").isNotNull() & ~fatal, 1)
+                  .otherwise(0)).alias("n_warnings"),
             F.sum("node_count").alias("sum_node_count"),
             F.sum("char_yield").alias("sum_char_yield"),
             F.avg("top_score").alias("avg_top_score"),
@@ -183,11 +192,26 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
             metrics_prev = spark.read.format(fmt).load(metrics_path)
         except Exception:
             metrics_prev = None
+        # a crash BETWEEN the output write and the metrics write leaves
+        # the output table one attempt ahead of the metrics table; deriving
+        # the next attempt from metrics alone would reuse that number, so
+        # the reprocessed buckets' duplicate copies would both carry the
+        # same attempt and max-attempt dedup would silently keep both.
+        # Consult both tables.  The output read is a single-int-column
+        # pruned scan (parquet reads only the 'attempt' pages), not a
+        # re-scan of the payload.
+        prev_attempt = 0
+        try:
+            prev_attempt = int(
+                spark.read.format(fmt).load(output_path)
+                .agg(F.max("attempt")).first()[0] or 0)
+        except Exception:
+            pass  # missing output table == fresh run
         if metrics_prev is not None:
             prev = metrics_prev.agg(
                 F.max("attempt").alias("a"),
                 F.max("n_buckets").alias("b")).first()
-            attempt = int(prev["a"] or 0) + 1
+            prev_attempt = max(prev_attempt, int(prev["a"] or 0))
             # the salt modulus is part of the lineage: resuming with a
             # different bucket count would anti-join incompatible bucket
             # ids and silently drop never-processed rows
@@ -195,6 +219,7 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                 num_buckets = int(prev["b"])
             df = resume_filter(df, metrics_prev, num_buckets) \
                 .drop("bucket_id")
+        attempt = prev_attempt + 1
 
     # One materialization of the extraction UDF: persist the results, write
     # them, then derive THIS attempt's metrics from the cache and append to
@@ -207,9 +232,10 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
 
     # every output row carries its attempt: if a prior attempt crashed
     # between the output write and the metrics write, resume reprocesses
-    # those buckets and output_path holds both copies — the attempt column
-    # makes the duplicates visible and filterable (keep max attempt per
-    # (conv_id, turn_idx)) instead of silently doubling downstream reads
+    # those buckets and output_path holds both copies — and because the
+    # next attempt is computed from max(attempt) across BOTH tables (above),
+    # the copies are guaranteed to carry distinct attempts, so keep-max-
+    # attempt per (conv_id, turn_idx) dedups them deterministically
     results = run_extraction(df, num_buckets, char_threshold) \
         .withColumn("attempt", F.lit(attempt))
     results.persist(StorageLevel.MEMORY_AND_DISK)

@@ -70,3 +70,30 @@ def test_media_features_gate_canonicalizable(spark):
     one = pdf.iloc[0]
     assert isinstance(one["feature_csv"], str)
     assert len(one["feature_csv"].split(",")) == 8
+
+
+def test_media_features_null_text_parity(spark, tmp_path):
+    """NULL text must agree between engines STRUCTURALLY: both sides
+    coalesce to '' before md5/strlen.  The shipped testdata has no NULL
+    text, so this builds a corpus that does."""
+    from readability_spark.ops.multimodal import (MEDIA_FEATURES_SQL,
+                                                  media_features)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, None), (1, "hello"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["media_id"]: r for r in media_features(spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    want = con.execute(MEDIA_FEATURES_SQL).fetchall()
+    assert len(got) == len(want) == 4
+    for media_id, kind, n_bytes, feature_csv in want:
+        g = got[media_id]
+        assert g["kind"] == kind
+        assert g["n_bytes"] == n_bytes
+        assert g["feature_csv"] == feature_csv
+    # NULL and '' normalize to the SAME feature (md5 of empty payload)
+    assert got[0]["feature_csv"] == got[2]["feature_csv"]
+    assert got[0]["n_bytes"] == 0

@@ -186,6 +186,27 @@ class TestAiOptimizedFormats:
         assert r["mainTopics"] == []
         assert r["navigationSummary"]["sections"] == 0
 
+    def test_ai_summary_word_count_uses_js_whitespace(self):
+        """JS /\\s+/ includes U+FEFF but NOT \\x1c-\\x1f; Python's re \\s is
+        the opposite.  wordCount must follow the JS set (cli.js:349)."""
+        html = ("<html><body><article><h1>T</h1>"
+                + "<p>alpha﻿beta gamma\x1cdelta</p>"
+                + "<p>" + "word " * 120 + "</p>"
+                "</article></body></html>")
+        r = ai_summary(html, URL)
+        md = to_markdown_probe = r["summary"]  # sanity: extraction happened
+        assert md
+        # JS split: U+FEFF separates (alpha|beta), \x1c does NOT separate
+        # (gamma\x1cdelta is ONE word).  With Python \s it would be the
+        # reverse.  120 'word' + alpha + beta + gamma\x1cdelta = 123 words
+        # plus the split-retained leading/trailing empties and the title.
+        import re as _re
+        from readability_core.progressive import JS_WS
+        # direct contract on the splitter used
+        assert _re.split(f"[{JS_WS}]+", "a﻿b") == ["a", "b"]
+        assert _re.split(f"[{JS_WS}]+", "a\x1cb") == ["a\x1cb"]
+        assert r["contentStats"]["wordCount"] > 0
+
     def test_ai_structured(self):
         r = ai_structured(TEST_HTML, URL)
         # metadata spread quirk: extractor's about:blank wins over CLI url

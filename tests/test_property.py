@@ -5,7 +5,7 @@ must produce exactly one well-formed record, deterministically, without
 throwing.  These fuzz that contract directly.
 """
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from readability_core import extract
 from readability_core.render import stringify, to_markdown
@@ -55,16 +55,50 @@ def test_extract_never_throws_and_is_deterministic(html):
     assert a["char_yield"] == len(a["extracted_text"])
 
 
+def _serialization_is_stable(node):
+    """True iff serialize_to_html(node) re-parses to the same tree.
+
+    The reference emits attribute values and text RAW (its quote handling,
+    htmlparser2.ts:167, replaces '"' with '"' — a no-op), so a '"' inside an
+    attribute value or a '<' inside a text node produces HTML that re-parses
+    differently.  That quirk is preserved (vdom.py serialize_to_html), which
+    means the fixpoint property only holds for trees without those payloads.
+    """
+    if node.nodeType == "text":
+        return "<" not in node.text
+    if any('"' in v or "<" in v or ">" in v for v in node.attrs.values()):
+        return False
+    return all(_serialization_is_stable(c) for c in node.children)
+
+
 @settings(max_examples=60, deadline=None)
 @given(html_soup())
 def test_parse_serialize_reaches_fixpoint(html):
     # parse → serialize may normalize; a second round-trip must be identity
+    # — for trees whose payloads survive the reference's raw serialization
+    # quirk (see _serialization_is_stable).
     d1 = parse_html(html)
     h1 = serialize_to_html(d1.document_element)
     d2 = parse_html(h1)
+    assume(_serialization_is_stable(d2.document_element))
     h2 = serialize_to_html(d2.document_element)
     d3 = parse_html(h2)
     assert serialize_to_html(d3.document_element) == h2
+
+
+def test_raw_attr_quirk_breaks_fixpoint_like_reference():
+    """Documents why the fixpoint property is conditional: the reference's
+    serializer (htmlparser2.ts:140-181) emits attribute values raw — its
+    quote-escape is a no-op — so a '"' inside an attribute value yields HTML
+    that re-parses into a different tree.  We preserve that quirk rather
+    than diverge (CLAUDE.md invariant 4)."""
+    d = parse_html('<x="<div class="x"><x')
+    h1 = serialize_to_html(d.document_element)
+    # the raw quote is emitted verbatim (no &quot; escaping)…
+    assert "&quot;" not in h1
+    # …and the round trip is NOT tree-preserving for this input
+    h2 = serialize_to_html(parse_html(h1).document_element)
+    assert h1 != h2
 
 
 @settings(max_examples=40, deadline=None)

@@ -125,6 +125,64 @@ def test_all_error_bucket_is_failed_and_reprocessed(spark):
     assert rows == {0: "ok", 1: "failed"}
 
 
+def test_warning_only_bucket_is_ok_not_failed(spark):
+    """Non-fatal markers (truncated/depth_capped) ride the error column on
+    successfully extracted rows; they must NOT count toward failed status —
+    otherwise an all-truncated bucket is permanently 'failed' and every
+    resume appends another full copy of its output, never converging."""
+    results = spark.createDataFrame(
+        [(0, "article", "truncated:max_html_bytes", 3, 100, 1.0, "c0"),
+         (0, "article", "truncated:max_html_bytes;depth_capped:max_dom_depth",
+          2, 50, 0.5, "c1"),
+         (1, "other", "exception:X", 0, 0, 0.0, "c2")],
+        "bucket_id int, page_type string, error string, node_count int, "
+        "char_yield int, top_score double, conv_id string")
+    m = {r["bucket_id"]: r for r in
+         derive_metrics(results, attempt=1, num_buckets=4).collect()}
+    assert m[0]["status"] == "ok"
+    assert m[0]["n_errors"] == 0 and m[0]["n_warnings"] == 2
+    assert m[1]["status"] == "failed"
+    assert m[1]["n_errors"] == 1 and m[1]["n_warnings"] == 0
+
+
+def test_crash_between_writes_yields_distinct_attempts(spark, tmp_path):
+    """Crash AFTER the output write but BEFORE the metrics write: the rerun
+    must not reuse the crashed attempt number, or the duplicate output
+    copies would be indistinguishable.  Attempt is derived from max(attempt)
+    across BOTH tables, so the copies carry distinct attempts and
+    keep-max-attempt dedup recovers exactly one row per turn."""
+    import shutil
+    from readability_spark.pipeline import run_pipeline
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20)
+    tr = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 4).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 4).cast("int").alias("turn_idx"),
+        F.expr("concat('<html><body><article><p>', text, "
+               "'</p></article></body></html>')").alias("text"))
+    tr.write.parquet(f"{d}/in")
+    run_pipeline(spark, f"{d}/in", f"{d}/out", f"{d}/met", num_buckets=4)
+    # simulate the crash: attempt 1's output exists, its metrics are gone
+    shutil.rmtree(f"{d}/met")
+    r2 = run_pipeline(spark, f"{d}/in", f"{d}/out", f"{d}/met",
+                      num_buckets=4)
+    assert r2["attempt"] == 2          # NOT 1 — output table consulted
+    out = spark.read.parquet(f"{d}/out")
+    assert set(r["attempt"] for r in
+               out.select("attempt").distinct().collect()) == {1, 2}
+    # keep-max-attempt dedup recovers exactly one copy per turn
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("attempt").desc())
+    deduped = (out.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    assert deduped.count() == 20
+    assert out.count() == 40
+
+
 def test_resume_pins_bucket_count_from_metrics(spark, tmp_path):
     """A resume run must reuse the original salt modulus — a different
     num_buckets would anti-join incompatible bucket ids."""
