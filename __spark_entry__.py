@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_near": dedup.near_dedup,
+        "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": dedup.LSH_PAIRS_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_near": dedup.NEAR_DEDUP_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,
         "lang_id": textstats.LANG_ID_SQL,

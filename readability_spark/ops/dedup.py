@@ -323,53 +323,94 @@ ORDER BY doc_a, doc_b
 # --- composed near-dedup: LSH candidates → exact Jaccard verify -----------------
 
 NEAR_DUP_THRESHOLD = 0.5
-_NEAR_DEDUP_CACHE: list = []   # most recent persisted signature table
 
 
-def near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _distinct_shingles(spark: SparkSession, sf_dir: str,
+                       checkpoint_dir: str | None = None) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the one artifact every stage of
+    near-dedup consumes.  The shape is row-per-shingle, never an array
+    cell, so a whale document only adds ROWS (which partition) rather than
+    a single near-2GB array value.
+
+    near_dedup's DAG is a diamond: five lineages consume this table, and
+    Catalyst's column pruning plus redundant-aggregate elimination make the
+    branches non-identical, so ReuseExchange cannot deduplicate them — left
+    lazy, the corpus would be re-scanned and re-tokenized per branch.  The
+    table is therefore materialized exactly once: to parquet when
+    ``checkpoint_dir`` is given (the durable artifact a real 100 TB
+    pipeline ships and resumes from), else via localCheckpoint (cluster
+    storage, lineage truncated, freed with the DataFrame — no session-
+    global lifecycle hacks)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .select("doc_id", F.explode(F.expr(_shingle_expr())).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/near_dedup_shingles.parquet"
+        sh.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return sh.localCheckpoint()
+
+
+def near_dedup(spark: SparkSession, sf_dir: str,
+               checkpoint_dir: str | None = None) -> DataFrame:
     """End-to-end near-duplicate detection over the FULL corpus: banded-LSH
     candidate pairs, then exact 3-gram Jaccard computed on those pairs only.
 
     This is the operator the module docstring promises for 100 TB: no
     doc_id cap — the quadratic work is confined to colliding LSH buckets.
 
-    Plan shape: ONE shingle explode feeds ONE aggregation producing the
-    per-doc signature AND its distinct-shingle set (collect_set), persisted
-    so the three consumers (pair generation, a-side join, b-side join) read
-    the cache instead of re-exploding the corpus — this is the table a real
-    pipeline would checkpoint.  Pair intersections are computed in-memory
-    per pair via array_intersect on doc_id-keyed joins; shingles themselves
-    never shuffle again.
-    """
-    from pyspark import StorageLevel
+    Scale shape (r3 rewrite): intersections come from a (pair, shingle)
+    EQUI-JOIN — the same shape the oracle uses — not from materialized
+    per-doc shingle-set arrays.  The previous collect_set design carried
+    both docs' complete sets through every pair comparison: ~3× corpus
+    size resident, a near-2GB array cell for one whale document (Spark's
+    array limit), and O(|a|+|b|) work per pair against that whale.  Rows
+    never exceed one shingle each here, so document size only affects row
+    COUNT, which partitions; the join output is bounded by (candidate
+    pairs × shingles of the smaller side), and candidate pairs are
+    LSH_BUCKET_CAP-bounded per bucket.
 
-    # DataFrame persistence is lazily consumed by the returned plan, so it
-    # can't be unpersisted here; bound the leak to ONE resident table by
-    # evicting the previous call's cache (at real scale this table is a
-    # checkpointed artifact, not a session cache)
-    while _NEAR_DEDUP_CACHE:
-        _NEAR_DEDUP_CACHE.pop().unpersist()
-    tbl = (
-        _exploded_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(*_minhash_aggs(), F.collect_set("shingle").alias("ss"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    The signature AND the per-doc distinct-shingle count both derive from
+    one distinct (doc_id, shingle) table (see _distinct_shingles): min() is
+    duplicate-insensitive so the dedup costs minhash nothing, and the
+    equi-join needs set semantics anyway.
+    """
+    sh = _distinct_shingles(spark, sf_dir, checkpoint_dir)
+    # ONE aggregation produces the LSH signature and the set size |doc|;
+    # localCheckpoint because three lineages consume it (pair generation,
+    # na, nb) and column pruning would otherwise split it into a mins-only
+    # and a count-only aggregation, each re-shuffling the shingle table.
+    # Tiny: one row of 9 longs + key per document.
+    sig = (sh.withColumn("x", F.expr(md5_prefix_int_expr("shingle")))
+           .groupBy("doc_id").agg(*_minhash_aggs(),
+                                  F.count("*").alias("n"))
+           .localCheckpoint())
+    pairs = _band_pairs(sig)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # pairs × a-side shingles, then equi-join on (doc_b, shingle): only
+    # shingles present in BOTH docs survive — the intersection count.
+    # Zero-intersection band collisions drop out of the inner join, exactly
+    # like the oracle's inner shingle-join.
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
     )
-    _NEAR_DEDUP_CACHE.append(tbl)
-    pairs = _band_pairs(tbl)
-    a = tbl.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
-    b = tbl.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    na = sig.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.round(
-        inter / (F.size("sa") + F.size("sb") - inter).cast("double"), 6)
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        .cast("double"), 6)
     return (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", inter.alias("inter"),
-                jac.alias("jaccard"), (jac >= NEAR_DUP_THRESHOLD)
-                .alias("is_dup"))
-        # band-colliding pairs with zero shared shingles are possible in
-        # principle; the oracle's inner shingle-join drops them — mirror it
-        .filter(F.col("inter") >= 1)
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b", "inter", jac.alias("jaccard"),
+                (jac >= NEAR_DUP_THRESHOLD).alias("is_dup"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -432,3 +473,108 @@ ORDER BY doc_a, doc_b
 
 
 NEAR_DEDUP_SQL = _near_dedup_sql()
+
+# --- near-dup cluster resolution -------------------------------------------------
+
+# backstop only: min-label propagation needs O(component diameter)
+# rounds, and near-dup cluster diameters are tiny (dup clusters are
+# near-cliques — every member collides with most others in some band)
+_CC_MAX_ITERS = 50
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, rep) where rep is the
+    minimum doc_id of the node's connected component.  Iterative min-label
+    propagation; only nodes appearing in an edge are emitted."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+    ).localCheckpoint()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("rep", F.col("doc_id"))
+              .localCheckpoint())
+    for _ in range(_CC_MAX_ITERS):
+        # neighbor proposals: src's current rep offered to dst
+        proposals = (labels.join(edges, labels["doc_id"] == edges["src"])
+                     .select(F.col("dst").alias("doc_id"), "rep"))
+        new_labels = (labels.union(proposals)
+                      .groupBy("doc_id").agg(F.min("rep").alias("rep"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("rep", "old"),
+                                   "doc_id")
+                   .filter(F.col("rep") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick keepers — the step a
+    real 100 TB dedup pipeline actually executes after pair generation
+    (exact_dedup picks keepers via min(doc_id); this is the near-dup twin).
+
+    Connected components over ``near_dedup``'s ``is_dup`` pairs by
+    iterative min-label propagation: every doc starts as its own
+    representative; each round, each doc adopts the smallest representative
+    among itself and its neighbors.  Converges in O(component diameter)
+    rounds — near-dup clusters are near-cliques, so 2-3 rounds in practice.
+    Each round is one join + one aggregation over the EDGE set (tiny
+    relative to the corpus: only docs that collided in LSH appear);
+    localCheckpoint truncates the growing lineage per round (on a real
+    cluster: reliable checkpoint dir).  The driver-side loop is the
+    iteration counter only — per-round work is fully distributed; the
+    convergence probe aggregates one boolean.
+
+    Output: (doc_id, rep_id, keep) over ALL documents — docs in no dup
+    pair are their own representative, keep = (doc_id == rep_id).
+    """
+    dup = near_dedup(spark, sf_dir).filter(F.col("is_dup"))
+    labels = _connected_components(dup.select("doc_a", "doc_b"))
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").alias("rep_id"))
+        .withColumn("keep", F.col("doc_id") == F.col("rep_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """DuckDB oracle: transitive closure of the is_dup edge set by
+    recursive CTE, representative = least reachable doc_id (including
+    self).  Closure is quadratic per component — fine for an oracle at
+    gate scale, which is exactly why the Spark side propagates labels
+    instead."""
+    nd = NEAR_DEDUP_SQL.replace("ORDER BY doc_a, doc_b", "")
+    # NEAR_DEDUP_SQL is itself a WITH query; inline it as a CTE body
+    return f"""
+WITH RECURSIVE nd AS ({nd}),
+dup AS (SELECT doc_a, doc_b FROM nd WHERE is_dup),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM dup
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+rep AS (
+  SELECT s AS doc_id, least(s, min(d)) AS rep_id FROM reach GROUP BY s
+)
+SELECT doc.doc_id,
+       CAST(coalesce(rep.rep_id, doc.doc_id) AS BIGINT) AS rep_id,
+       coalesce(rep.rep_id, doc.doc_id) = doc.doc_id AS keep
+FROM documents doc
+LEFT JOIN rep ON rep.doc_id = doc.doc_id
+ORDER BY doc.doc_id
+"""
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()

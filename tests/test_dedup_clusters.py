@@ -1,0 +1,94 @@
+"""Near-dup cluster resolution: connected components over near_dedup's
+is_dup pairs → (doc_id, rep_id, keep).  The keep/drop decision a real
+100 TB dedup pipeline actually executes (exact_dedup picks keepers via
+min(doc_id); dedup_clusters is the near-dup twin).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from readability_spark.ops.dedup import (
+    DEDUP_CLUSTERS_SQL,
+    NEAR_DEDUP_SQL,
+    _connected_components,
+    dedup_clusters,
+    near_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, sf_dir: str = SF):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(sql).df()
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A transitive chain A-B-C must collapse to one component even though
+    A and C never share an edge; disjoint components stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: all → 1
+         (10, 11),                    # island pair → 10
+         (20, 22), (22, 21)],         # out-of-order labels → 20
+        "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: r["rep"]
+           for r in _connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    """Worst-case diameter: a pure path graph 0-1-2-...-19 needs many
+    propagation rounds; the loop must converge, not stop early."""
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint")
+    got = {r["doc_id"]: r["rep"]
+           for r in _connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_near_dedup_matches_oracle(spark):
+    s = near_dedup(spark, SF).toPandas()
+    o = _oracle(NEAR_DEDUP_SQL)
+    assert s.shape == o.shape
+    assert (s.reset_index(drop=True).astype(str)
+            == o.reset_index(drop=True).astype(str)).all().all()
+
+
+def test_dedup_clusters_matches_oracle(spark):
+    s = dedup_clusters(spark, SF).toPandas()
+    o = _oracle(DEDUP_CLUSTERS_SQL)
+    assert s.shape == o.shape
+    assert list(s.columns) == list(o.columns) == ["doc_id", "rep_id", "keep"]
+    assert (s.reset_index(drop=True).astype(str)
+            == o.reset_index(drop=True).astype(str)).all().all()
+
+
+def test_dedup_clusters_semantics(spark):
+    """Structural invariants independent of the oracle: every doc appears
+    exactly once, every representative keeps itself, non-keepers point at a
+    smaller doc_id, and the keeper set is consistent with near_dedup."""
+    out = dedup_clusters(spark, SF)
+    rows = out.collect()
+    n_docs = (spark.read.parquet(f"{SF}/documents.parquet").count())
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    reps = {r["rep_id"] for r in rows}
+    by_id = {r["doc_id"]: r for r in rows}
+    for rep in reps:
+        assert by_id[rep]["keep"] is True
+        assert by_id[rep]["rep_id"] == rep
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] == r["rep_id"])
+        assert r["rep_id"] <= r["doc_id"]
+    # every is_dup pair ends up in the same cluster
+    for p in near_dedup(spark, SF).filter(F.col("is_dup")).collect():
+        assert by_id[p["doc_a"]]["rep_id"] == by_id[p["doc_b"]]["rep_id"]

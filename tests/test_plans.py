@@ -99,14 +99,24 @@ def test_topk_per_group_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
-def test_near_dedup_reads_signature_table_from_cache(spark):
+def test_near_dedup_scale_shape(spark):
+    """The r3 scale guards, plan-locked:
+
+    1. NO per-doc shingle-set arrays anywhere (collect_set(shingle) was the
+       whale-doc killer: one 10^7-shingle document = a near-2GB array cell,
+       Spark's array limit, plus O(|set|) work per candidate pair).
+       Intersections come from a (pair, shingle) equi-join instead.
+    2. The returned plan reads ONLY the two checkpointed artifacts (the
+       distinct-shingle table and the signature table) — the corpus is
+       scanned and tokenized exactly once, during checkpoint
+       materialization, not re-exploded per consumer branch.
+    """
     from readability_spark.ops.dedup import near_dedup
 
     df = near_dedup(spark, SF)
-    df.count()     # materialize the persisted signature table
     plan = plan_of(df)
-    # pair generation + both join sides must read the cache, not re-explode
-    # (the one parquet scan in the text lives INSIDE the InMemoryRelation's
-    # stored build plan, not as a live consumer)
-    assert nodes(plan, "InMemoryTableScan") == 3, plan
-    spark.catalog.clearCache()
+    assert "collect_set(shingle" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+    # 5 checkpoint reads: sig ×3 (pair generation, na, nb), shingles ×2
+    # (a-side, b-side of the intersection join)
+    assert nodes(plan, "Scan ExistingRDD") == 5, plan
