@@ -32,11 +32,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DATA = os.path.join(REPO, "BENCH", "data", "transcripts_bench")
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1200"))
+SEED = 42
 
 OPS_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_lsh_pairs",
-    "dedup_near", "ann_cosine_topk", "topk_per_group", "score_propagation",
-    "sessionize", "token_counts", "lang_id",
+    "dedup_near", "dedup_clusters", "ann_cosine_topk", "topk_per_group",
+    "score_propagation", "sessionize", "token_counts", "lang_id",
 ]
 
 
@@ -52,7 +53,7 @@ def build(cpus: int):
 def ensure_bench_data(spark) -> int:
     """Materialize the deterministic transcript table once; return row count."""
     from readability_spark.transcripts import write_transcripts
-    write_transcripts(spark, BENCH_DATA, n_convs=N_CONVS, seed=42)
+    write_transcripts(spark, BENCH_DATA, n_convs=N_CONVS, seed=SEED)
     return spark.read.parquet(BENCH_DATA).count()
 
 
@@ -88,7 +89,15 @@ def main() -> None:
     n_turns = ensure_bench_data(spark)
 
     queries: dict[str, float] = {}
-    extra: dict = {"cpus": CPUS, "n_turns": n_turns}
+    # corpus fingerprint + forcing mode: round-over-round comparability
+    # broke silently in r1→r2 (corpus default changed AND r1's bare count()
+    # let Catalyst prune projection-only queries to a parquet row-count);
+    # recording both makes any future drift visible in the JSON itself
+    extra: dict = {
+        "cpus": CPUS, "n_turns": n_turns,
+        "corpus": {"n_convs": N_CONVS, "seed": SEED, "n_turns": n_turns},
+        "forcing": "bit_xor(xxhash64(struct(*)))",
+    }
 
     warm_workers(spark)
     # steady-state measurement: two runs, keep the faster (first run still

@@ -75,7 +75,9 @@ def stream_conversation_stats(extracted: DataFrame,
 SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
                       "session_end timestamp, n_events long, "
                       "session_value_cents long")
-SESSION_STATE_SCHEMA = "start long, last long, n long, cents long"
+SESSION_STATE_SCHEMA = ("start long, last long, n long, cents long, "
+                        "buf_ts array<long>, buf_id array<long>, "
+                        "buf_cents array<long>")
 SESSION_GAP_MIN = 30        # mirror of ops.relational.SESSION_GAP_MIN
 
 
@@ -85,26 +87,31 @@ def stream_sessionize(events: DataFrame,
     """Custom stateful operator: gap-based sessionization over the event
     stream via ``applyInPandasWithState`` — the streaming twin of the batch
     ``ops.relational.sessionize`` (same 30-min gap, same per-row integer
-    cents), with per-user GroupState carrying the open session.
+    cents), with per-user GroupState.
 
-    Semantics: a session CLOSES (and is emitted, append mode) when a later
-    event for the same user arrives more than ``gap_minutes`` after the
-    previous one, or when event-time timeout fires (watermark passed
-    last_ts + gap) — so in-flight sessions flush without a closing event.
-    State is four longs per active user; at 10^9 users that is a few GB
-    sharded across executors, the shape this API exists for.
+    Late/disordered data: events may arrive disordered both WITHIN a
+    microbatch and ACROSS microbatches, up to the watermark — exactly the
+    disorder budget the watermark declares.  Arriving events are buffered
+    in state and only folded into sessions once the watermark passes their
+    event time (no earlier event can still arrive; anything later than the
+    watermark is dropped by Spark before reaching this operator).  The
+    buffered window is bounded by the watermark delay: per user, state
+    holds the open session (four longs) plus at most ``watermark``-worth
+    of not-yet-finalized events — the standard cost of out-of-order
+    correctness, sharded across executors by user.
 
-    Arrival assumption: events may be arbitrarily disordered WITHIN a
-    microbatch (sorted before folding), but the state holds only the open
-    session, so across microbatches per-user event time must be
-    non-decreasing (i.e. ingest files in time order — the normal shape of
-    an append-only event log).  Buffering the full watermark window in
-    state would lift this at a memory cost this pipeline doesn't need.
+    Emission (append mode): a session closes when a finalized later event
+    falls more than ``gap_minutes`` after the previous one, or by
+    event-time timeout once the watermark passes last + gap with nothing
+    buffered that could extend it.
     """
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    gap_ms = gap_s * 1000
 
     def _emit(user_id, start, last, n, cents):
         return pd.DataFrame({
@@ -117,29 +124,33 @@ def stream_sessionize(events: DataFrame,
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, cents = state.get
-            state.remove()
-            yield _emit(user_id, start, last, n, cents)
-            return
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
         if state.exists:
-            start, last, n, cents = state.get
+            start, last, n, cents, buf_ts, buf_id, buf_cents = state.get
+            buf = list(zip(buf_ts or (), buf_id or (), buf_cents or ()))
         else:
             start = last = None
             n = cents = 0
+            buf = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid, val in zip(pdf["ts"], pdf["event_id"],
+                                        pdf["value"]):
+                    buf.append((int(ts.value // 1000),        # ns → µs
+                                int(eid),
+                                int(math.floor(float(val) * 100))))
+        wm_ms = state.getCurrentWatermarkMs()
+        # finalize exactly the prefix the watermark guarantees is complete
+        buf.sort()
+        ready = [e for e in buf if e[0] // 1000 <= wm_ms]
+        buf = [e for e in buf if e[0] // 1000 > wm_ms]
         closed = []
-        for ts, val in zip(batch["ts"], batch["value"]):
-            t = int(ts.value // 1000)                     # ns → µs
-            c = int(math.floor(float(val) * 100))         # invariant 3
+        for t, _eid, c in ready:
             # gap compares SECOND-truncated stamps — the batch twin uses
             # unix_timestamp() diffs, which drop sub-second components; a
             # µs-precision compare would split (1800s, 1801s) gaps that
             # batch sessionize keeps together
             if (last is not None
-                    and t // 1_000_000 - last // 1_000_000
-                    > gap_minutes * 60):
+                    and t // 1_000_000 - last // 1_000_000 > gap_s):
                 closed.append((start, last, n, cents))
                 start, n, cents = None, 0, 0
             if start is None:
@@ -147,9 +158,29 @@ def stream_sessionize(events: DataFrame,
             last = t
             n += 1
             cents += c
-        state.update((start, last, n, cents))
-        # flush the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        # flush the open session once nothing can extend it: the watermark
+        # passed last + gap, so every still-buffered or future event starts
+        # a new session anyway
+        if (start is not None
+                and wm_ms // 1000 - last // 1_000_000 > gap_s):
+            closed.append((start, last, n, cents))
+            start = last = None
+            n = cents = 0
+        if start is None and not buf:
+            state.remove()
+        else:
+            state.update((start, last, n, cents,
+                          [e[0] for e in buf], [e[1] for e in buf],
+                          [e[2] for e in buf]))
+            # wake when the next finalization becomes possible: earliest
+            # buffered event, or the open session's last + gap (timeout
+            # must sit strictly past the current watermark)
+            cand = []
+            if buf:
+                cand.append(buf[0][0] // 1000)
+            if start is not None:
+                cand.append(last // 1000 + gap_ms)
+            state.setTimeoutTimestamp(max(min(cand), wm_ms + 1))
         for s in closed:
             yield _emit(user_id, *s)
 

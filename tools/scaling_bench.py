@@ -107,8 +107,10 @@ def main() -> None:
                 "ctl": {str(k): best_ctl[k] for k in LEVELS},
                 "n_turns": n_turns,
             }) + "\n")
+    n_recorded_runs = 0
     for line in open(HISTORY):
         rec = json.loads(line)
+        n_recorded_runs += 1
         n_turns = n_turns or rec.get("n_turns", 0)
         for k in LEVELS:
             tp = rec["tp"].get(str(k), 0.0)
@@ -171,7 +173,8 @@ fixture pages embedded round-robin, Zipf-skewed conversation lengths).
 **Measurement protocol.** This VM is shared-tenancy: a pure-Python
 multiprocessing control running the *same* extraction measured identical
 runs anywhere from 9s to 66s depending on the minute.  Levels are therefore
-run interleaved over {ROUNDS} rounds, each invocation runs the job twice,
+run interleaved (2, 8, 32 per round); {n_recorded_runs} interleaved runs
+are recorded in scaling_history.jsonl, each invocation runs the job twice,
 and the table reports the best window per level, alongside the mp-pool
 control (the silicon's achievable ceiling for this exact workload at that
 process count).
