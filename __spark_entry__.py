@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
+        "ann_multiprobe_topk": similarity.lsh_multiprobe_topk,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,
+        "ann_multiprobe_topk": similarity.MULTIPROBE_TOPK_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,

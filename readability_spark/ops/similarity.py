@@ -179,3 +179,83 @@ ORDER BY query_id, rank
 
 
 LSH_TOPK_SQL = _lsh_topk_sql()
+
+# --- multiprobe sign-LSH (recall path; exact DuckDB oracle) -------------------
+
+
+def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str,
+                        dim: int = EMB_DIM) -> DataFrame:
+    """Multiprobe sign-LSH: each query probes its own bucket PLUS the 8
+    one-bit-flip neighbor buckets (the nearest Hamming-1 signatures), then
+    exact cosine re-ranks the union of candidates.
+
+    Standard recall lever for sign-LSH: a near neighbor that lands just on
+    the other side of ONE hyperplane is recovered at the cost of 9 bucket
+    probes instead of 1 — still a bucketed equi-join (query side explodes
+    9×, corpus side untouched), never a cross product, so the scale shape
+    is identical to ``lsh_cosine_topk``.  Probe buckets are distinct, so
+    each (query, neighbor) pair matches at most once — no dedup needed.
+    Recall vs exact cosine_topk is pinned in tests/test_ann_quality.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    sig = _plane_sig_expr(dim)
+    bucket_expr = (f"if(size(embedding) >= {dim}, "
+                   f"({sig.replace('v[', 'embedding[')}), "
+                   f"raise_error('embedding narrower than dim={dim}'))")
+    bucketed = emb.select(
+        F.col("vec_id"), F.col("embedding"),
+        F.expr(bucket_expr).alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.expr(f"bucket ^ {1 << p}") for p in range(N_PLANES)])
+    queries = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("a"),
+                F.explode(probes).alias("bucket"))
+    )
+    corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("b"), F.col("bucket"))
+    joined = corpus.join(F.broadcast(queries), "bucket")
+    scored = _with_cosine(joined)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _multiprobe_topk_sql() -> str:
+    sig = _plane_sig_expr(EMB_DIM, base=1).replace("v[", "embedding[")
+    flips = ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(N_PLANES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({sig}) AS bucket FROM embeddings
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS a, bucket FROM b
+  WHERE vec_id < {N_QUERIES}
+), q AS (
+  SELECT query_id, a,
+         unnest([bucket, {flips}]) AS bucket
+  FROM q0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.a', 'e.embedding', EMB_DIM)} AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+MULTIPROBE_TOPK_SQL = _multiprobe_topk_sql()
