@@ -19,10 +19,14 @@ full corpus (the oracle query caps doc_id for the same reason).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import SQL_TOKENS, md5_prefix_int_expr, table, tokens_col
+
+_LOG = logging.getLogger(__name__)
 
 # --- exact -------------------------------------------------------------------
 
@@ -476,16 +480,27 @@ NEAR_DEDUP_SQL = _near_dedup_sql()
 
 # --- near-dup cluster resolution -------------------------------------------------
 
-# backstop only: min-label propagation needs O(component diameter)
-# rounds, and near-dup cluster diameters are tiny (dup clusters are
-# near-cliques — every member collides with most others in some band)
+# Backstop only — with pointer jumping each round, convergence needs
+# O(log2(component diameter)) rounds, so 50 covers diameters up to ~2^50;
+# hitting the cap means something is broken, and the loop RAISES rather
+# than return partially-propagated (silently wrong) representatives.
 _CC_MAX_ITERS = 50
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) undirected edges → (doc_id, rep) where rep is the
-    minimum doc_id of the node's connected component.  Iterative min-label
-    propagation; only nodes appearing in an edge are emitted."""
+def _connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """(doc_a, doc_b) undirected edges → ((doc_id, rep), n_rounds) where rep
+    is the minimum doc_id of the node's connected component.  Only nodes
+    appearing in an edge are emitted.
+
+    Each round does min-label propagation over the edges (every node adopts
+    the smallest rep among itself and its neighbors) FOLLOWED by one pointer
+    jump (rep ← rep's rep): propagation alone needs O(diameter) rounds — a
+    path-shaped component of diameter >cap (template-chained crawls make
+    these plausible at scale) would exhaust the cap — while the jump halves
+    the remaining label distance each round, so convergence is
+    O(log diameter) and the cap is unreachable for any physical graph.
+    Raises RuntimeError if the backstop cap is somehow exhausted before
+    convergence: wrong labels must never be returned silently."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst"))
@@ -495,44 +510,69 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("rep", F.col("doc_id"))
               .localCheckpoint())
-    for _ in range(_CC_MAX_ITERS):
+    for n_rounds in range(1, _CC_MAX_ITERS + 1):
         # neighbor proposals: src's current rep offered to dst
         proposals = (labels.join(edges, labels["doc_id"] == edges["src"])
                      .select(F.col("dst").alias("doc_id"), "rep"))
-        new_labels = (labels.union(proposals)
-                      .groupBy("doc_id").agg(F.min("rep").alias("rep"))
-                      .localCheckpoint())
+        propagated = (labels.union(proposals)
+                      .groupBy("doc_id").agg(F.min("rep").alias("rep")))
+        # pointer jump: rep ← rep's rep.  Every rep value is itself a node
+        # (labels start as doc_ids and min() only selects existing ones), so
+        # the inner self-join is total; rep's own label is ≤ rep, so the
+        # jump is monotone toward the component minimum.
+        new_labels = (
+            propagated.join(
+                propagated.select(F.col("doc_id").alias("rep"),
+                                  F.col("rep").alias("rep2")),
+                "rep")
+            .select("doc_id", F.col("rep2").alias("rep"))
+            .localCheckpoint())
         changed = (new_labels.join(labels.withColumnRenamed("rep", "old"),
                                    "doc_id")
                    .filter(F.col("rep") != F.col("old")).limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels, n_rounds
+    raise RuntimeError(
+        f"_connected_components failed to converge in {_CC_MAX_ITERS} "
+        f"rounds — refusing to return partially-propagated labels")
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Resolve near-dup pairs into clusters and pick keepers — the step a
     real 100 TB dedup pipeline actually executes after pair generation
     (exact_dedup picks keepers via min(doc_id); this is the near-dup twin).
 
-    Connected components over ``near_dedup``'s ``is_dup`` pairs by
-    iterative min-label propagation: every doc starts as its own
-    representative; each round, each doc adopts the smallest representative
-    among itself and its neighbors.  Converges in O(component diameter)
-    rounds — near-dup clusters are near-cliques, so 2-3 rounds in practice.
+    Connected components over the ``is_dup`` pair set: min-label
+    propagation with a pointer jump per round (see ``_connected_components``
+    — O(log diameter) rounds, loud failure on the unreachable backstop cap).
     Each round is one join + one aggregation over the EDGE set (tiny
     relative to the corpus: only docs that collided in LSH appear);
     localCheckpoint truncates the growing lineage per round (on a real
     cluster: reliable checkpoint dir).  The driver-side loop is the
     iteration counter only — per-round work is fully distributed; the
-    convergence probe aggregates one boolean.
+    convergence probe aggregates one boolean.  The round count is logged:
+    a 100 TB operator reports its iteration count.
+
+    ``pairs`` lets a staged pipeline hand in the pair table the previous
+    stage already produced (``near_dedup``'s output, or anything with
+    doc_a/doc_b and optionally is_dup) instead of recomputing near_dedup
+    from scratch inside this operator — pairs → clusters share the
+    artifact ``checkpoint_dir`` makes durable.  The default (pairs=None)
+    keeps the self-contained form the driver gate runs.
 
     Output: (doc_id, rep_id, keep) over ALL documents — docs in no dup
     pair are their own representative, keep = (doc_id == rep_id).
     """
-    dup = near_dedup(spark, sf_dir).filter(F.col("is_dup"))
-    labels = _connected_components(dup.select("doc_a", "doc_b"))
+    if pairs is None:
+        pairs = near_dedup(spark, sf_dir, checkpoint_dir)
+    dup = pairs.filter(F.col("is_dup")) if "is_dup" in pairs.columns \
+        else pairs
+    labels, n_rounds = _connected_components(dup.select("doc_a", "doc_b"))
+    _LOG.info("dedup_clusters: connected components converged in %d rounds",
+              n_rounds)
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")

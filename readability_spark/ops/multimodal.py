@@ -89,7 +89,10 @@ def synth_media(spark: SparkSession, sf_dir: str, limit: int = 64) -> DataFrame:
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(64).alias("width"), F.lit(64).alias("height"),
-            (F.length("text") * 10).cast("int").alias("duration_ms"),
+            # same NULL→empty normalization as the payload: a NULL text is
+            # an empty clip (0 ms), not a NULL duration
+            (F.length(F.coalesce(F.col("text"), F.lit(""))) * 10)
+            .cast("int").alias("duration_ms"),
         ).alias("meta"))
 
 

@@ -169,6 +169,21 @@ def resume_filter(df: DataFrame, metrics: DataFrame,
     return salted.join(F.broadcast(done), "bucket_id", "left_anti")
 
 
+def _is_path_missing(e: Exception) -> bool:
+    """True iff a read failed because the table doesn't exist (fresh run),
+    as opposed to a corrupt table or a transient FS error — only the former
+    may be swallowed by resume logic."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(e, AnalysisException):
+        return False
+    try:
+        cls = e.getCondition()
+    except Exception:
+        cls = None
+    return cls == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e)
+
+
 def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  metrics_path: str, num_buckets: int | None = None,
                  char_threshold: int = 500, fmt: str = "parquet",
@@ -190,7 +205,9 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
         # restart at attempt=1 and collide with existing attempt-1 rows
         try:
             metrics_prev = spark.read.format(fmt).load(metrics_path)
-        except Exception:
+        except Exception as e:
+            if not _is_path_missing(e):
+                raise
             metrics_prev = None
         # a crash BETWEEN the output write and the metrics write leaves
         # the output table one attempt ahead of the metrics table; deriving
@@ -205,8 +222,13 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
             prev_attempt = int(
                 spark.read.format(fmt).load(output_path)
                 .agg(F.max("attempt")).first()[0] or 0)
-        except Exception:
-            pass  # missing output table == fresh run
+        except Exception as e:
+            # missing output table == fresh run; anything else (corrupt
+            # table, transient FS error) must propagate — resetting to 0
+            # here while metrics are also unreadable would recreate the
+            # colliding-attempt bug this read exists to prevent
+            if not _is_path_missing(e):
+                raise
         if metrics_prev is not None:
             prev = metrics_prev.agg(
                 F.max("attempt").alias("a"),

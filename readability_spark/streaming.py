@@ -139,10 +139,14 @@ def stream_sessionize(events: DataFrame,
                                 int(eid),
                                 int(math.floor(float(val) * 100))))
         wm_ms = state.getCurrentWatermarkMs()
-        # finalize exactly the prefix the watermark guarantees is complete
+        # finalize exactly the prefix the watermark guarantees is complete:
+        # STRICTLY before the watermark — Spark only drops rows strictly
+        # older than the watermark, so an event AT wm (or in the same
+        # truncated millisecond) can still arrive and must sort among
+        # same-ms peers; those stay buffered one more batch
         buf.sort()
-        ready = [e for e in buf if e[0] // 1000 <= wm_ms]
-        buf = [e for e in buf if e[0] // 1000 > wm_ms]
+        ready = [e for e in buf if e[0] // 1000 < wm_ms]
+        buf = [e for e in buf if e[0] // 1000 >= wm_ms]
         closed = []
         for t, _eid, c in ready:
             # gap compares SECOND-truncated stamps — the batch twin uses

@@ -37,11 +37,12 @@ def test_connected_components_chain_and_islands(spark):
          (10, 11),                    # island pair → 10
          (20, 22), (22, 21)],         # out-of-order labels → 20
         "doc_a bigint, doc_b bigint")
-    got = {r["doc_id"]: r["rep"]
-           for r in _connected_components(pairs).collect()}
+    labels, n_rounds = _connected_components(pairs)
+    got = {r["doc_id"]: r["rep"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+    assert n_rounds <= 4
 
 
 def test_connected_components_converges_on_long_path(spark):
@@ -50,9 +51,38 @@ def test_connected_components_converges_on_long_path(spark):
     n = 20
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint")
-    got = {r["doc_id"]: r["rep"]
-           for r in _connected_components(pairs).collect()}
+    labels, _ = _connected_components(pairs)
+    got = {r["doc_id"]: r["rep"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_diameter_past_old_cap(spark):
+    """Adversarial diameter: a 200-node path (diameter 199, ~4× the
+    iteration backstop) converges because each round does a pointer jump
+    on top of the propagation — label distance halves per round, so
+    O(log2 199) ≈ 8 rounds.  Pre-r4, min-label propagation alone would
+    exhaust the 50-round cap and silently return wrong representatives."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint")
+    labels, n_rounds = _connected_components(pairs)
+    got = {r["doc_id"]: r["rep"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert n_rounds <= 12, f"pointer jumping regressed: {n_rounds} rounds"
+
+
+def test_connected_components_raises_instead_of_wrong_labels(
+        spark, monkeypatch):
+    """If the backstop cap IS exhausted before convergence the operator
+    must raise, never return partially-propagated labels (the r3 latent
+    defect: silent fall-through past the cap)."""
+    import readability_spark.ops.dedup as dd
+
+    monkeypatch.setattr(dd, "_CC_MAX_ITERS", 1)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        _connected_components(pairs)
 
 
 def test_near_dedup_matches_oracle(spark):
@@ -92,3 +122,16 @@ def test_dedup_clusters_semantics(spark):
     # every is_dup pair ends up in the same cluster
     for p in near_dedup(spark, SF).filter(F.col("is_dup")).collect():
         assert by_id[p["doc_a"]]["rep_id"] == by_id[p["doc_b"]]["rep_id"]
+
+
+def test_dedup_clusters_accepts_precomputed_pairs(spark):
+    """A staged pipeline (pairs stage → clusters stage) hands the pair
+    table in instead of paying near_dedup again; result must be identical
+    to the self-contained form, with or without the is_dup column."""
+    pairs = near_dedup(spark, SF).localCheckpoint()
+    base = dedup_clusters(spark, SF).collect()
+    staged = dedup_clusters(spark, SF, pairs=pairs).collect()
+    assert staged == base
+    prefiltered = pairs.filter(F.col("is_dup")).select("doc_a", "doc_b")
+    staged2 = dedup_clusters(spark, SF, pairs=prefiltered).collect()
+    assert staged2 == base

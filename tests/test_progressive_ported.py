@@ -188,24 +188,27 @@ class TestAiOptimizedFormats:
 
     def test_ai_summary_word_count_uses_js_whitespace(self):
         """JS /\\s+/ includes U+FEFF but NOT \\x1c-\\x1f; Python's re \\s is
-        the opposite.  wordCount must follow the JS set (cli.js:349)."""
+        the opposite.  wordCount must follow the JS set (cli.js:349).
+
+        The fixture is deliberately ASYMMETRIC — two U+FEFF joins vs one
+        \\x1c split — so the exact count detects a revert to Python \\s:
+        JS sees alpha|beta|gamma (3) + delta\\x1cepsilon (1); Python \\s
+        would see alpha﻿beta﻿gamma (1) + delta|epsilon (2), one word
+        fewer.  (A 1-FEFF/1-\\x1c fixture cancels out and pins nothing.)"""
         html = ("<html><body><article><h1>T</h1>"
-                + "<p>alpha﻿beta gamma\x1cdelta</p>"
+                + "<p>alpha﻿beta﻿gamma delta\x1cepsilon</p>"
                 + "<p>" + "word " * 120 + "</p>"
                 "</article></body></html>")
         r = ai_summary(html, URL)
-        md = to_markdown_probe = r["summary"]  # sanity: extraction happened
-        assert md
-        # JS split: U+FEFF separates (alpha|beta), \x1c does NOT separate
-        # (gamma\x1cdelta is ONE word).  With Python \s it would be the
-        # reverse.  120 'word' + alpha + beta + gamma\x1cdelta = 123 words
-        # plus the split-retained leading/trailing empties and the title.
+        assert r["summary"]  # sanity: extraction happened
         import re as _re
         from readability_core.progressive import JS_WS
-        # direct contract on the splitter used
+        # direct contract on the splitter class
         assert _re.split(f"[{JS_WS}]+", "a﻿b") == ["a", "b"]
         assert _re.split(f"[{JS_WS}]+", "a\x1cb") == ["a\x1cb"]
-        assert r["contentStats"]["wordCount"] > 0
+        # '#'+title (2) + 4 content words + 120 'word' = 126 JS-split
+        # fields over the markdown; the Python-\s revert yields 125
+        assert r["contentStats"]["wordCount"] == 126
 
     def test_ai_structured(self):
         r = ai_structured(TEST_HTML, URL)

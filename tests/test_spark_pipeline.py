@@ -183,6 +183,35 @@ def test_crash_between_writes_yields_distinct_attempts(spark, tmp_path):
     assert out.count() == 40
 
 
+def test_resume_propagates_non_missing_read_errors(spark, tmp_path):
+    """Resume may swallow ONLY path-not-found on the metrics/output reads.
+    A metrics table that exists but can't be read (corrupt file here; a
+    transient FS error in production) must propagate — silently resetting
+    prev_attempt to 0 would recreate the colliding-attempt bug."""
+    import os
+    from readability_spark.pipeline import run_pipeline
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(10)
+    tr = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 2).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 2).cast("int").alias("turn_idx"),
+        F.expr("concat('<html><body><article><p>', text, "
+               "'</p></article></body></html>')").alias("text"))
+    tr.write.parquet(f"{d}/in")
+    os.makedirs(f"{d}/met")
+    with open(f"{d}/met/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        run_pipeline(spark, f"{d}/in", f"{d}/out", f"{d}/met", num_buckets=2)
+    # and the missing-table path still means "fresh run", not an error
+    r = run_pipeline(spark, f"{d}/in", f"{d}/out2", f"{d}/met2",
+                     num_buckets=2)
+    assert r["attempt"] == 1 and r["rows_new"] == 10
+
+
 def test_resume_pins_bucket_count_from_metrics(spark, tmp_path):
     """A resume run must reuse the original salt modulus — a different
     num_buckets would anti-join incompatible bucket ids."""
