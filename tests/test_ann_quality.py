@@ -5,6 +5,7 @@ import pytest
 
 from readability_spark.ops.similarity import (
     cosine_topk,
+    lsh_bandor_topk,
     lsh_cosine_topk,
     lsh_multiprobe_topk,
 )
@@ -49,3 +50,31 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # (note: emitted top-5 PAIRS are not a superset of single-probe's —
     # better candidates from flipped buckets displace junk — but TRUE
     # neighbors can never be displaced, hence the recall dominance above)
+
+
+@pytest.mark.parametrize("sf_dir",
+                         ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bandor_recall_meets_target(spark, sf_dir):
+    """Band-OR amplification (L=4 independent signature tables, Hamming-≤2
+    probes per table, union of candidates, exact re-rank) must lift
+    recall@5 to a genuinely useful level.  Pinned at the measured value:
+    0.80 at BOTH sf0.001 and sf0.01 — vs 0.20 single-probe and 0.28/0.32
+    multiprobe.  The floor asserts the VERDICT r3 target (≥ 0.6) with the
+    measured 0.80 recorded here; a drop below 0.8 on this seeded testdata
+    means the signature family or probe set changed."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in lsh_multiprobe_topk(spark, sf_dir).collect()}
+    bandor = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bandor_topk(spark, sf_dir).collect()}
+    r_multi = len(multi & exact) / len(exact)
+    r_bandor = len(bandor & exact) / len(exact)
+    assert r_bandor >= r_multi, (r_multi, r_bandor)
+    assert r_bandor >= 0.8, f"band-OR recall regressed: {r_bandor:.2f}"
+    # self-match is always a candidate (a vector collides with itself in
+    # every table) and always rank 1
+    rank1 = {r["query_id"]: r["neighbor_id"]
+             for r in lsh_bandor_topk(spark, sf_dir).collect()
+             if r["rank"] == 1}
+    assert all(q == n for q, n in rank1.items())

@@ -99,6 +99,36 @@ def test_topk_per_group_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_bandor_topk_scale_shape(spark, capfd):
+    """Band-OR ANN, plan-locked:
+
+    1. Broadcast equi-joins only — the probe fan-out and the re-rank never
+       degrade to a cross product (the corpus side streams unshuffled
+       through the bucket join).
+    2. The query-side filter pushes to the scan.
+    3. The signature projection stays inside whole-stage codegen: the
+       two-layer (cast-columns, then ±1-chain) form exists precisely so
+       janino's 64 KB method limit isn't hit.  Plan markers can't show a
+       RUNTIME codegen bailout (codegen ids are assigned at plan time), so
+       this executes the job and asserts log4j's console appender (the
+       JVM shares our fd 2, which capfd captures OS-level) logged no
+       compile failure.
+    """
+    from readability_spark.ops.similarity import lsh_bandor_topk
+
+    df = lsh_bandor_topk(spark, SF)
+    plan = plan_of(df)
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert re.search(r"PushedFilters:.*LessThan\(vec_id,5\)", plan), plan
+    capfd.readouterr()                 # drain anything earlier
+    df.collect()
+    err = capfd.readouterr().err
+    assert "Failed to compile" not in err, err[-2000:]
+    assert "grows beyond 64 KB" not in err, err[-2000:]
+
+
 def test_near_dedup_scale_shape(spark):
     """The r3 scale guards, plan-locked:
 
