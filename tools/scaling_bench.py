@@ -161,6 +161,21 @@ def main() -> None:
     rows = "\n".join(
         f"| local[{k}] | {best_sec[k]} | {best_tp[k]} | {best_ctl[k]} |"
         for k in LEVELS)
+
+    # per-round bench normalization table (bench.py appends one row per
+    # full run; the normalized ratio is the round-over-round comparable)
+    bench_hist = os.path.join(REPO, "BENCH", "bench_history.jsonl")
+    bench_rows = []
+    if os.path.exists(bench_hist):
+        for line in open(bench_hist):
+            r = json.loads(line)
+            ex = r.get("extra", {})
+            if "normalized_tp_over_control" in ex:
+                bench_rows.append(
+                    f"| {time.strftime('%Y-%m-%d %H:%M', time.localtime(r['t']))} "
+                    f"| {ex['turns_per_sec']} | {ex['control_docs_per_sec']} "
+                    f"| {ex['normalized_tp_over_control']} |")
+    bench_table = "\n".join(bench_rows) or "| (no runs recorded yet) | | | |"
     md = f"""# BENCH baseline — scaling evidence
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 between N and 4N
@@ -190,6 +205,33 @@ process count).
   {ctl_eff_2_8}.
 - N=8 → 4N=32: pipeline {eff_8_32} (per-run: {effs_8_32}); mp control
   {ctl_eff_8_32}.
+
+## Per-round bench normalization (bench.py noise control)
+
+`bench.py` samples the same mp-pool control at {LEVELS[-1]} processes
+twice — immediately before and immediately after its timed region,
+best-of-2, because one sample can land on a stolen minute the measurement
+didn't see (observed 285 vs 2362 docs/s twenty seconds apart) — and
+reports `normalized_tp_over_control` = flagship turns/sec ÷ control
+docs/sec.  That ratio, not the raw wall, is the round-over-round
+comparable on this host.
+
+| run (local time) | pipeline turns/sec | control docs/sec | normalized |
+| --- | --- | --- | --- |
+{bench_table}
+
+Reference band from the interleaved scaling runs at local[32]
+(tp÷ctl per history row): 0.18-0.23 typical, 0.54 best recorded window.
+
+**r2→r3 swing adjudication (r4, 2026-08-16):** BENCH_r03's raw numbers
+looked 3-5× worse than BENCH_r02 on the identical corpus
+(extract 28.7s→143.6s).  The first control-instrumented run measured
+463.6 turns/s against a 2606.8 docs/s control — normalized 0.178, inside
+the recorded band — and every operator query returned to r2-like walls
+(simhash 4.3s vs r2 3.98/r3 11.7; near-dedup 4.1s vs 3.3/12.5) with no
+code change to those paths.  Conclusion: the r3 swing was host noise,
+not a regression; the control now makes that distinction measurable
+per-round instead of arguable.
 
 Design notes for real-cluster scaling: the job's only coordination is the
 one salt shuffle (hash(conv_id, turn_idx) → parallelism×4 buckets), which
