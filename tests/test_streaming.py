@@ -159,3 +159,126 @@ def test_stream_sessionize_disordered_across_microbatches(spark, tmp_path):
     assert (1, "10:00", "10:14", 2, 300) in got
     assert (1, "12:00", "12:00", 1, 300) in got
     assert len(got) == 2
+
+
+# --- property: stream ≡ batch under ANY bounded-lateness arrival order ------
+
+def _batch_sessions(spark, rows):
+    """Reference sessionization (the ops.relational semantics, inlined for
+    arbitrary event rows): 30-min gap on second-truncated diffs, per-row
+    floor(value*100) cents."""
+    from pyspark.sql import Window
+
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    events = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (events
+            .withColumn("new_session",
+                        F.when(gap.isNull() | (gap > 30 * 60), 1)
+                        .otherwise(0))
+            .withColumn("session_no", F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .alias("session_value_cents")))
+    return {(r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["session_value_cents"])
+            for r in sess.collect()}
+
+
+def test_stream_sessionize_property_bounded_lateness(spark, tmp_path):
+    """Property: for ANY event-time layout (edge gaps of exactly 1800 s
+    included) and ANY arrival disorder bounded by the watermark delay,
+    streaming sessionize emits exactly the batch sessions, full tuples
+    (start/end timestamps included, not just aggregates).
+
+    Hypothesis draws per-user gap sequences from an edge-loaded pool
+    (0/1/1799/1800/1801/3600 s — 1800 must NOT split, 1801 must) and a
+    per-event lateness jitter in [0, 1800] s; arrival order is
+    sort-by(ts + jitter), which guarantees no event is dropped (any
+    earlier-arrived event satisfies ts_other < ts + 1800, so the
+    watermark never passes an unarrived event — jitter 1800 lands an
+    event exactly ON the watermark, Spark's keep-edge).  A per-user
+    far-future closer (> gap + watermark past everything) forces every
+    real session out of state; the closers themselves stay open and are
+    excluded from the expectation.
+
+    Each example is a fresh multi-file stream (one file per microbatch).
+    Examples are few (streaming queries cost seconds) but each replays a
+    full adversarial permutation; the disorder test above pins one known
+    case, this pins the CLASS."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from readability_spark.streaming import stream_sessionize
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    gap_pool = [0, 1, 2, 1799, 1800, 1801, 3600]
+    jitter_pool = st.integers(min_value=0, max_value=1800)
+    value_pool = st.sampled_from([0.0, 1.0, 2.5, 0.335, 9.99])
+
+    user_events = st.lists(
+        st.tuples(st.sampled_from(gap_pool), jitter_pool, value_pool),
+        min_size=1, max_size=6)
+
+    case_idx = [0]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture],
+              derandomize=True)
+    @given(per_user=st.lists(user_events, min_size=1, max_size=2),
+           chunk=st.integers(min_value=1, max_value=3))
+    def run_case(per_user, chunk):
+        case_idx[0] += 1
+        name = f"sess_prop_{case_idx[0]}"
+        rows, eid = [], 0
+        for u, evs in enumerate(per_user):
+            t = 0
+            for gap_s, jitter, val in evs:
+                t += gap_s
+                rows.append((u, eid, base + timedelta(seconds=t), val,
+                             t + jitter))
+                eid += 1
+        # closer: beyond gap + watermark of every event in the case
+        closer_t = max(
+            (r[2] - base).total_seconds() for r in rows) + 2 * 1800 + 10
+        for u in range(len(per_user)):
+            rows.append((u, eid, base + timedelta(seconds=closer_t), 1.0,
+                         closer_t + 10_000))
+            eid += 1
+        # arrival order: bounded-lateness permutation
+        arrival = sorted(rows, key=lambda r: (r[4], r[0], r[1]))
+        inp = tmp_path / name
+        inp.mkdir()
+        schema = "user_id long, event_id long, ts timestamp, value double"
+        for i in range(0, len(arrival), chunk):
+            batch = [(r[0], r[1], r[2], r[3])
+                     for r in arrival[i:i + chunk]]
+            spark.createDataFrame(batch, schema).coalesce(1) \
+                .write.parquet(str(inp / f"f{i:04d}"))
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(inp) + "/*"))
+        q = (stream_sessionize(src).writeStream
+             .format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / (name + "_ck")))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = Counter(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["session_value_cents"])
+            for r in spark.sql(f"select * from {name}").collect())
+        real = [(r[0], r[1], r[2], r[3]) for r in rows
+                if (r[2] - base).total_seconds() < closer_t]
+        expected = Counter(_batch_sessions(spark, real))
+        assert got == expected, (sorted(got.items()),
+                                 sorted(expected.items()))
+
+    run_case()
