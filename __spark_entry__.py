@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_near": dedup.near_dedup,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_embedding": similarity.embedding_near_dup,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_topk": similarity.lsh_cosine_topk,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_near": dedup.NEAR_DEDUP_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "dedup_embedding": similarity.EMBEDDING_DEDUP_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,
         "ann_multiprobe_topk": similarity.MULTIPROBE_TOPK_SQL,

@@ -36,7 +36,8 @@ SEED = 42
 
 OPS_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_lsh_pairs",
-    "dedup_near", "dedup_clusters", "ann_cosine_topk", "topk_per_group",
+    "dedup_near", "dedup_clusters", "dedup_embedding", "ann_cosine_topk",
+    "ann_bandor_topk", "topk_per_group",
     "score_propagation", "sessionize", "token_counts", "lang_id",
 ]
 

@@ -426,3 +426,140 @@ ORDER BY query_id, rank
 
 
 BANDOR_TOPK_SQL = _bandor_topk_sql()
+
+# --- embedding-cosine near-duplicate pairs (corpus×corpus; exact oracle) ------
+
+# Gate-scale threshold.  The synthetic embeddings contain NO true
+# duplicates (max pairwise cosine ≈ 0.48 at sf0.001 / 0.51 at sf0.01 —
+# measured over all 124,750 pairs), so the cut sits at the top ~0.05% of
+# the pair distribution (66 resp. 59 pairs ≥ 0.4) to give is_dup a
+# nonvacuous meaning, mirroring NEAR_DUP_THRESHOLD's role for text.  A
+# real dedup run uses 0.99+, where sign agreement per plane is ≈ 0.955
+# and banded recall is high — test_ann_quality.py proves that design
+# point on planted duplicates, since the corpus can't.
+EMB_DUP_THRESHOLD = 0.4
+# Skew guard, same rationale as LSH_BUCKET_CAP in ops.dedup: a bucket of B
+# vectors yields B²/2 pairs; degenerate buckets (e.g. zero-ish vectors all
+# hashing alike) would explode the candidate set.  The oracle applies the
+# identical cap.
+EMB_BUCKET_CAP = 1000
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str,
+                       dim: int = EMB_DIM) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over the FULL corpus —
+    the vector twin of ``ops.dedup.near_dedup``: banded sign-LSH generates
+    candidate pairs, exact cosine verifies them, ``is_dup`` flags pairs at
+    ≥ EMB_DUP_THRESHOLD.
+
+    Scale shape: the corpus explodes to L=4 rows per vector (one per
+    signature band — the SAME md5-seeded tables ann_bandor_topk probes, so
+    at scale the bucketed artifact is shared between dedup and ANN);
+    within each (band, bucket) the i<j pairs are generated by the
+    single-lineage bucket-grouping pattern of ``ops.dedup._band_pairs`` —
+    group to a sorted vec_id array, expand with array lambdas — so there
+    is NO self-join and the signature projection runs exactly once.
+    Quadratic work is confined to colliding buckets and capped
+    (EMB_BUCKET_CAP) against degenerate buckets.  Candidate pairs then
+    re-rank by exact cosine via two equi-joins back to the corpus.
+
+    Bucket cardinality note for 10^12 rows: 8 planes = 256 buckets per
+    band, which is a GATE-SCALE setting (500 vectors → ~2/bucket).  At
+    real scale you widen the band signature (e.g. 8 bands × 30 planes:
+    ~10^9 buckets, per-band collision 0.955^30 ≈ 0.25 at cos 0.99, union
+    recall ≈ 0.90) — the plan shape is identical, only N_PLANES/L_TABLES
+    change, which is why they are module constants.
+    """
+    return embedding_near_dup_df(table(spark, sf_dir, "embeddings"), dim)
+
+
+def embedding_near_dup_df(emb: DataFrame, dim: int = EMB_DIM,
+                          threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+    """DataFrame-core of ``embedding_near_dup`` — takes any
+    (vec_id, embedding) table so callers (and the planted-duplicate design
+    -point test) can run it over corpora the parquet layout doesn't hold."""
+    step = max(1, dim // 16)
+    coords = list(range(0, dim, step))
+    guard = (f"if(size(embedding) >= {dim}, "
+             f"cast(embedding[{{i}}] as double), "
+             f"raise_error('embedding narrower than dim={dim}'))")
+    withc = emb.select(
+        "vec_id", "embedding",
+        *[F.expr(guard.format(i=i)).alias(f"c{j}")
+          for j, i in enumerate(coords)])
+    withb = withc.select(
+        "vec_id",
+        *[F.expr(f"({_table_sig_expr(t, dim)})").alias(f"b{t}")
+          for t in range(L_TABLES)])
+    stacked = withb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(L_TABLES)])).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"),
+             F.col("tb.bucket").alias("bucket"))
+    buckets = (
+        stacked.groupBy("t", "bucket")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+        .filter((F.size("vs") >= 2) & (F.size("vs") <= EMB_BUCKET_CAP))
+    )
+    pair_expr = (
+        "flatten(transform(vs, (x, i) -> "
+        "transform(slice(vs, i + 2, size(vs)), "
+        "y -> struct(x AS vec_a, y AS vec_b))))")
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("b"))
+    scored = _with_cosine(pairs.join(ea, "vec_a").join(eb, "vec_b"))
+    cos6 = F.round(F.col("cos"), 6)
+    return (
+        scored.select(
+            "vec_a", "vec_b", cos6.alias("cos"),
+            (cos6 >= threshold).alias("is_dup"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _embedding_dedup_sql() -> str:
+    """DuckDB mirror: identical band signatures (1-indexed arrays),
+    UNION ALL stacking, capped bucket self-join for pairs, explicit-chain
+    cosine, identical rounding before the threshold."""
+    sigs = ", ".join(
+        f"({_table_sig_expr(t, EMB_DIM, var='cast(embedding[{i}] as double)', base=1)})"
+        f" AS b{t}" for t in range(L_TABLES))
+    stacked = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM b"
+        for t in range(L_TABLES))
+    cos = _cos_sql("ea.embedding", "eb.embedding", EMB_DIM)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {sigs} FROM embeddings
+), stacked AS ({stacked}),
+bsz AS (
+  SELECT t, bucket FROM stacked GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {EMB_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM stacked l
+  JOIN stacked r ON l.t = r.t AND l.bucket = r.bucket
+  JOIN bsz u ON u.t = l.t AND u.bucket = l.bucket
+  WHERE l.vec_id < r.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       round({cos}, 6) AS cos,
+       round({cos}, 6) >= {EMB_DUP_THRESHOLD} AS is_dup
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+ORDER BY vec_a, vec_b
+"""
+
+
+EMBEDDING_DEDUP_SQL = _embedding_dedup_sql()

@@ -78,3 +78,79 @@ def test_bandor_recall_meets_target(spark, sf_dir):
              for r in lsh_bandor_topk(spark, sf_dir).collect()
              if r["rank"] == 1}
     assert all(q == n for q, n in rank1.items())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_embedding_near_dup_semantics(spark, sf_dir):
+    """Embedding-cosine near-dup (the vector twin of text near_dedup):
+    candidate pairs are ordered and unique, the is_dup cut at
+    EMB_DUP_THRESHOLD is nonvacuous in both directions, and the exact
+    verify stage guarantees ZERO false positives against brute-force
+    ground truth.  Recall on THIS corpus is corpus-limited, not
+    design-limited — the synthetic embeddings have no true duplicates
+    (max pairwise cosine ≈ 0.48), so the 0.4 cut selects 66 pairs at
+    ~66° angles, far outside sign-LSH's collision range; measured 0.152
+    here, pinned as a floor.  The design point (cos ≥ 0.99) is proved in
+    test_embedding_near_dup_finds_planted_duplicates."""
+    from pyspark.sql import functions as F
+    from readability_spark.ops.similarity import (
+        EMB_DUP_THRESHOLD,
+        _with_cosine,
+        embedding_near_dup,
+    )
+
+    rows = embedding_near_dup(spark, sf_dir).collect()
+    assert rows, "LSH bands must collide on the testdata"
+    keys = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)
+    dup_pairs = {(r["vec_a"], r["vec_b"]) for r in rows if r["is_dup"]}
+    assert dup_pairs, "threshold leaves no dup pairs — cut is vacuous"
+    assert len(dup_pairs) < len(keys), "every candidate is a dup — cut is vacuous"
+
+    # ground truth: brute-force all-pairs cosine at gate scale
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("b"))
+    allp = _with_cosine(
+        a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b")))
+    truth = {(r["vec_a"], r["vec_b"])
+             for r in allp.filter(
+                 F.round(F.col("cos"), 6) >= EMB_DUP_THRESHOLD).collect()}
+    assert truth, "testdata has no pairs at this threshold"
+    # every emitted dup is true (exact verify stage => no false positives)
+    assert dup_pairs <= truth
+    recall = len(dup_pairs) / len(truth)
+    assert recall >= 0.15, f"recall regressed below measured: {recall:.3f}"
+
+
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """Design point: at real dedup thresholds (cos ≥ 0.99) per-plane sign
+    agreement is ≈ 0.95+, so the L=4 banded tables catch essentially every
+    duplicate.  The testdata has no duplicates, so plant them: 50 vectors
+    get a +1%-of-norm jitter copy (cosine ≈ 0.9999); every planted pair
+    must surface as a candidate AND be flagged is_dup, with zero false
+    positives among planted ids."""
+    from pyspark.sql import functions as F
+    from readability_spark.ops.similarity import embedding_near_dup_df
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    base = emb.filter(F.col("vec_id") < 50)
+    jittered = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> cast(x * (1.0 + 0.01 * "
+               "(cast(i % 3 as double) - 1.0)) as float))")
+        .alias("embedding"))
+    corpus = emb.unionByName(jittered)
+    out = embedding_near_dup_df(corpus, threshold=0.99).collect()
+    dup = {(r["vec_a"], r["vec_b"]) for r in out if r["is_dup"]}
+    planted = {(i, i + 100000) for i in range(50)}
+    missed = planted - dup
+    assert not missed, f"planted duplicates missed: {sorted(missed)[:5]}"
+    # no OTHER pair involving a planted id may be flagged at 0.99
+    extra = {p for p in dup - planted
+             if p[0] >= 100000 or p[1] >= 100000}
+    assert not extra, sorted(extra)[:5]

@@ -124,6 +124,20 @@ def test_dedup_clusters_semantics(spark):
         assert by_id[p["doc_a"]]["rep_id"] == by_id[p["doc_b"]]["rep_id"]
 
 
+def test_dedup_clusters_logs_round_count(spark, caplog):
+    """A 100 TB operator reports its iteration count: the gate corpus must
+    converge in a handful of rounds (near-dup clusters are near-cliques;
+    pointer jumping makes even paths logarithmic) and say so."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="readability_spark.ops.dedup"):
+        dedup_clusters(spark, SF).collect()
+    msgs = [r for r in caplog.records if "converged" in r.getMessage()]
+    assert msgs, "round count must be logged"
+    n_rounds = msgs[-1].args[-1]
+    assert 1 <= n_rounds <= 6, n_rounds
+
+
 def test_dedup_clusters_accepts_precomputed_pairs(spark):
     """A staged pipeline (pairs stage → clusters stage) hands the pair
     table in instead of paying near_dedup again; result must be identical

@@ -129,6 +129,20 @@ def test_bandor_topk_scale_shape(spark, capfd):
     assert "grows beyond 64 KB" not in err, err[-2000:]
 
 
+def test_embedding_near_dup_scale_shape(spark):
+    """The vector near-dup twin keeps the single-lineage pair-generation
+    shape: ONE scan computes the banded signatures (bucket grouping with
+    array lambdas — a bucket self-join would recompute the signature
+    projection per side), two more scans feed the exact-cosine re-rank,
+    and nothing degrades to a cross product."""
+    from readability_spark.ops.similarity import embedding_near_dup
+
+    plan = plan_of(embedding_near_dup(spark, SF))
+    assert nodes(plan, "Scan parquet") == 3, plan
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+
+
 def test_near_dedup_scale_shape(spark):
     """The r3 scale guards, plan-locked:
 
