@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.lsh_cosine_topk,
         "ann_multiprobe_topk": similarity.lsh_multiprobe_topk,
         "ann_bandor_topk": similarity.lsh_bandor_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,
         "ann_multiprobe_topk": similarity.MULTIPROBE_TOPK_SQL,
         "ann_bandor_topk": similarity.BANDOR_TOPK_SQL,
+        "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,

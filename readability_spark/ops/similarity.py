@@ -563,3 +563,120 @@ ORDER BY vec_a, vec_b
 
 
 EMBEDDING_DEDUP_SQL = _embedding_dedup_sql()
+
+# --- IVF (inverted-file) ANN: coarse quantizer + probed re-rank ---------------
+
+IVF_K = 16            # centroid count (gate scale; ~sqrt(n) in production)
+IVF_NPROBE = 4        # centroid lists probed per query
+# Deterministic coarse quantizer: centroids are the corpus vectors with
+# vec_id in [N_QUERIES, N_QUERIES + IVF_K) — a fixed-id sample, so the
+# oracle selects the identical set with a WHERE clause.  Production IVF
+# k-means-trains centroids on a sample; the plan shape (assign → probe →
+# re-rank) is identical, which is what this operator pins.
+IVF_FIRST = N_QUERIES
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k — the third scale path besides sign-LSH bucketing and
+    band-OR: a coarse quantizer assigns every corpus vector to its nearest
+    of IVF_K centroids (one partial-aggregated shuffle of corpus size: the
+    16 candidate rows per vector collapse map-side via max(struct)), each
+    query probes its IVF_NPROBE nearest centroid lists, and exact cosine
+    re-ranks only vectors in probed lists.
+
+    Ranking determinism across engines: assignment and probe order are
+    (cos DESC, centroid_id ASC); Spark expresses that as
+    max(struct(cos, -centroid_id)) — lexicographic struct max picks the
+    larger cosine, ties the smaller centroid_id — over bit-identical
+    cosines (aggregate/zip_with fold ≡ the oracle's explicit chain), so
+    both engines derive identical lists.  Recall@5 vs brute force is
+    pinned in tests/test_ann_quality.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= IVF_FIRST)
+        & (F.col("vec_id") < IVF_FIRST + IVF_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("b"))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("a"))
+    # assignment: 16 scored rows per vector, collapsed map-side
+    assign_scored = _with_cosine(corpus.crossJoin(F.broadcast(cents)))
+    assigned = (
+        assign_scored
+        .groupBy("neighbor_id")
+        .agg(F.max(F.struct(
+            F.col("cos"), (-F.col("centroid_id")).alias("neg")))
+            .alias("best"))
+        .select("neighbor_id", (-F.col("best.neg")).alias("centroid_id"))
+    )
+    # query probes: nearest IVF_NPROBE centroids per query (tiny)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
+    probe_scored = _with_cosine(queries.crossJoin(F.broadcast(cents)))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("centroid_id"))
+    probes = (probe_scored.withColumn("pr", F.row_number().over(w_probe))
+              .filter(F.col("pr") <= IVF_NPROBE)
+              .select("query_id", "centroid_id"))
+    # candidates: corpus vectors whose list is probed; exact re-rank
+    cand = assigned.join(F.broadcast(probes), "centroid_id") \
+        .select("query_id", "neighbor_id")
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("b"))
+    scored = _with_cosine(
+        cand.join(F.broadcast(queries), "query_id").join(ne, "neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_topk_sql() -> str:
+    cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+    cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
+    cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id >= {IVF_FIRST} AND vec_id < {IVF_FIRST + IVF_K}
+), assigned AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ac} DESC, c.centroid_id ASC)
+             AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.centroid_id ASC)
+             AS pr
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE pr <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+), ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY {cos_qn} DESC, c.neighbor_id ASC)
+           AS rank
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+IVF_TOPK_SQL = _ivf_topk_sql()

@@ -80,6 +80,28 @@ def test_bandor_recall_meets_target(spark, sf_dir):
     assert all(q == n for q, n in rank1.items())
 
 
+@pytest.mark.parametrize("sf_dir",
+                         ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_recall(spark, sf_dir):
+    """IVF (coarse quantizer + probed re-rank) at nprobe=4 of 16 lists
+    probes ~25% of the corpus and must hold the measured recall@5: 0.56
+    at sf0.001 / 0.48 at sf0.01 (pinned ≥ 0.45).  The recall dial is
+    nprobe — band-OR stays the high-recall (0.8) path; IVF pins the
+    third scale shape (assign → probe → re-rank).  Every query's rank-1
+    is itself: a query's own list is always its nearest centroid's, so
+    self-match survives probing."""
+    from readability_spark.ops.similarity import ivf_topk
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    got = ivf_topk(spark, sf_dir).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.45, f"IVF recall regressed: {recall:.2f}"
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert all(q == n for q, n in rank1.items())
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_embedding_near_dup_semantics(spark, sf_dir):
     """Embedding-cosine near-dup (the vector twin of text near_dedup):
