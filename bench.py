@@ -37,7 +37,7 @@ SEED = 42
 OPS_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_lsh_pairs",
     "dedup_near", "dedup_clusters", "dedup_embedding", "ann_cosine_topk",
-    "ann_bandor_topk", "topk_per_group",
+    "ann_bandor_topk", "ann_ivf_topk", "topk_per_group",
     "score_propagation", "sessionize", "token_counts", "lang_id",
 ]
 
