@@ -148,6 +148,20 @@ def test_embedding_near_dup_semantics(spark, sf_dir):
     assert recall >= 0.15, f"recall regressed below measured: {recall:.3f}"
 
 
+def test_embedding_near_dup_guards_dim(spark):
+    """A narrower-than-dim vector must fail loudly: out-of-range v[i] is
+    NULL (ANSI off), which would silently hash every vector into bucket 0
+    and turn the bucket grouping into near-brute-force — same guard
+    contract as the ANN operators."""
+    from readability_spark.ops.similarity import embedding_near_dup_df
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 32), (2, [0.25] * 32)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="narrower than dim"):
+        embedding_near_dup_df(bad).collect()
+
+
 def test_embedding_near_dup_finds_planted_duplicates(spark):
     """Design point: at real dedup thresholds (cos ≥ 0.99) per-plane sign
     agreement is ≈ 0.95+, so the L=4 banded tables catch essentially every
