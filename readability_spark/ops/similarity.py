@@ -306,6 +306,41 @@ def _probe_masks() -> list[int]:
                for a, b in combinations(range(N_PLANES), 2)])
 
 
+def _banded_buckets(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, t, bucket): one row per vector per
+    band-OR signature table.  Two projection layers keep four signatures
+    inside janino's 64 KB whole-stage method limit: layer 1 materializes
+    the 16 sampled coordinates as double columns ONCE (each is reused by
+    all 32 planes -- explicit common-subexpression elimination), layer
+    2's sig chains then reference those locals with +-1 literals;
+    inlining cast(embedding[i] as double) per term generated 512
+    cast+multiply statements and knocked the whole stage out of codegen.
+    The dim guard (see lsh_cosine_topk) rides the cast: out-of-range v[i]
+    is NULL, which would silently funnel everything into bucket 0.
+    Shared by band-OR ANN probing and embedding near-dup pair generation,
+    which makes the "same signature tables" invariant structural."""
+    step = max(1, dim // 16)
+    coords = list(range(0, dim, step))
+    guard = (f"if(size(embedding) >= {dim}, "
+             f"cast(embedding[{{i}}] as double), "
+             f"raise_error('embedding narrower than dim={dim}'))")
+    withc = emb.select(
+        "vec_id", "embedding",
+        *[F.expr(guard.format(i=i)).alias(f"c{j}")
+          for j, i in enumerate(coords)])
+    withb = withc.select(
+        "vec_id",
+        *[F.expr(f"({_table_sig_expr(t, dim)})").alias(f"b{t}")
+          for t in range(L_TABLES)])
+    return withb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+            for t in range(L_TABLES)])).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"),
+             F.col("tb.bucket").alias("bucket"))
+
+
 def lsh_bandor_topk(spark: SparkSession, sf_dir: str,
                     dim: int = EMB_DIM) -> DataFrame:
     """Band-OR amplified sign-LSH top-k: L=4 independent 8-plane signature
@@ -330,35 +365,7 @@ def lsh_bandor_topk(spark: SparkSession, sf_dir: str,
     janino's method-size limit and falls back to interpreted eval.
     """
     emb = table(spark, sf_dir, "embeddings")
-    # Two projection layers so four signatures stay inside janino's 64 KB
-    # whole-stage method limit: layer 1 materializes the 16 sampled
-    # coordinates as double columns ONCE (each is reused by all 32 planes
-    # — explicit common-subexpression elimination), layer 2's sig chains
-    # then reference those locals with ±1 literals.  Inlining
-    # cast(embedding[i] as double) per term generated 512 cast+multiply
-    # statements and knocked the whole stage out of codegen.  The dim
-    # guard (see lsh_cosine_topk) rides the cast: out-of-range v[i] is
-    # NULL, which would silently funnel everything into bucket 0.
-    step = max(1, dim // 16)
-    coords = list(range(0, dim, step))
-    guard = (f"if(size(embedding) >= {dim}, "
-             f"cast(embedding[{{i}}] as double), "
-             f"raise_error('embedding narrower than dim={dim}'))")
-    withc = emb.select(
-        "vec_id", "embedding",
-        *[F.expr(guard.format(i=i)).alias(f"c{j}")
-          for j, i in enumerate(coords)])
-    withb = withc.select(
-        "vec_id", "embedding",
-        *[F.expr(f"({_table_sig_expr(t, dim)})").alias(f"b{t}")
-          for t in range(L_TABLES)])
-    stacked = withb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-            for t in range(L_TABLES)])).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"),
-             F.col("tb.bucket").alias("bucket"))
+    stacked = _banded_buckets(emb, dim)
     corpus = stacked.select(F.col("vec_id").alias("neighbor_id"),
                             "t", "bucket")
     probes = F.array(*[F.expr(f"bucket ^ {m}") for m in _probe_masks()])
@@ -478,26 +485,7 @@ def embedding_near_dup_df(emb: DataFrame, dim: int = EMB_DIM,
     """DataFrame-core of ``embedding_near_dup`` — takes any
     (vec_id, embedding) table so callers (and the planted-duplicate design
     -point test) can run it over corpora the parquet layout doesn't hold."""
-    step = max(1, dim // 16)
-    coords = list(range(0, dim, step))
-    guard = (f"if(size(embedding) >= {dim}, "
-             f"cast(embedding[{{i}}] as double), "
-             f"raise_error('embedding narrower than dim={dim}'))")
-    withc = emb.select(
-        "vec_id", "embedding",
-        *[F.expr(guard.format(i=i)).alias(f"c{j}")
-          for j, i in enumerate(coords)])
-    withb = withc.select(
-        "vec_id",
-        *[F.expr(f"({_table_sig_expr(t, dim)})").alias(f"b{t}")
-          for t in range(L_TABLES)])
-    stacked = withb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-            for t in range(L_TABLES)])).alias("tb")
-    ).select("vec_id", F.col("tb.t").alias("t"),
-             F.col("tb.bucket").alias("bucket"))
+    stacked = _banded_buckets(emb, dim)
     buckets = (
         stacked.groupBy("t", "bucket")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
@@ -591,8 +579,17 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines (aggregate/zip_with fold ≡ the oracle's explicit chain), so
     both engines derive identical lists.  Recall@5 vs brute force is
     pinned in tests/test_ann_quality.py.
+
+    Same in-expression dim guard as the other ANN operators: a
+    narrower-than-dim embedding would NULL-pad every cosine it touches
+    (zip_with), and NULL cos ranks as confident garbage -- fail loudly
+    instead.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    dim = EMB_DIM
+    guard = (f"if(size(embedding) >= {dim}, embedding, "
+             f"raise_error('embedding narrower than dim={dim}'))")
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(guard))
     cents = emb.filter(
         (F.col("vec_id") >= IVF_FIRST)
         & (F.col("vec_id") < IVF_FIRST + IVF_K)).select(

@@ -170,9 +170,17 @@ def resume_filter(df: DataFrame, metrics: DataFrame,
 
 
 def _is_path_missing(e: Exception) -> bool:
-    """True iff a read failed because the table doesn't exist (fresh run),
-    as opposed to a corrupt table or a transient FS error — only the former
-    may be swallowed by resume logic."""
+    """True iff a read failed because the table doesn't exist OR holds no
+    committed data (fresh run), as opposed to a corrupt table or a
+    transient FS error — only the former may be swallowed by resume logic.
+
+    UNABLE_TO_INFER_SCHEMA counts as missing: a run killed between
+    directory creation and task commit leaves the path with only a
+    ``_temporary`` subdir and zero parquet footers — the standard crash
+    artifact resume exists to recover from.  No committed files means no
+    recorded attempts, so "fresh" is semantically exact.  A table whose
+    committed files are unreadable fails footer PARSING instead (not an
+    AnalysisException) and still propagates."""
     from pyspark.errors import AnalysisException
 
     if not isinstance(e, AnalysisException):
@@ -181,7 +189,9 @@ def _is_path_missing(e: Exception) -> bool:
         cls = e.getCondition()
     except Exception:
         cls = None
-    return cls == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e)
+    msg = str(e)
+    return (cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            or "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg)
 
 
 def run_pipeline(spark: SparkSession, input_path: str, output_path: str,

@@ -92,9 +92,11 @@ def stream_sessionize(events: DataFrame,
     Late/disordered data: events may arrive disordered both WITHIN a
     microbatch and ACROSS microbatches, up to the watermark — exactly the
     disorder budget the watermark declares.  Arriving events are buffered
-    in state and only folded into sessions once the watermark passes their
-    event time (no earlier event can still arrive; anything later than the
-    watermark is dropped by Spark before reaching this operator).  The
+    in state and only folded into sessions once the watermark passes
+    STRICTLY beyond their event time — Spark drops only rows strictly
+    older than the watermark, so an event AT the watermark can still
+    arrive and must keep its buffered same-timestamp peers company one
+    more batch (hence the strict-< finalize predicate below).  The
     buffered window is bounded by the watermark delay: per user, state
     holds the open session (four longs) plus at most ``watermark``-worth
     of not-yet-finalized events — the standard cost of out-of-order

@@ -210,6 +210,15 @@ def test_resume_propagates_non_missing_read_errors(spark, tmp_path):
     r = run_pipeline(spark, f"{d}/in", f"{d}/out2", f"{d}/met2",
                      num_buckets=2)
     assert r["attempt"] == 1 and r["rows_new"] == 10
+    # a run killed between mkdir and task commit leaves the table with
+    # only _temporary and no footers (UNABLE_TO_INFER_SCHEMA) — that is
+    # the crash artifact resume exists for, so it must mean "fresh run",
+    # not a permanent brick
+    os.makedirs(f"{d}/out3/_temporary/0")
+    os.makedirs(f"{d}/met3/_temporary/0")
+    r = run_pipeline(spark, f"{d}/in", f"{d}/out3", f"{d}/met3",
+                     num_buckets=2)
+    assert r["attempt"] == 1 and r["rows_new"] == 10
 
 
 def test_resume_pins_bucket_count_from_metrics(spark, tmp_path):
