@@ -359,10 +359,8 @@ def lsh_bandor_topk(spark: SparkSession, sf_dir: str,
     broadcast-nested-loop shape only if every vector lands in one bucket,
     which the 4×8 independent planes make vanishingly unlikely.
 
-    Codegen note: the four signatures are computed as four COLUMNS in one
-    projection and stacked by a second, trivially small explode — inlining
-    all four 8×16-term signature expressions inside one explode blows
-    janino's method-size limit and falls back to interpreted eval.
+    Signature construction (and its janino-limit layering) lives in
+    ``_banded_buckets``, shared with ``embedding_near_dup_df``.
     """
     emb = table(spark, sf_dir, "embeddings")
     stacked = _banded_buckets(emb, dim)
