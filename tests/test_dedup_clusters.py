@@ -85,6 +85,44 @@ def test_connected_components_raises_instead_of_wrong_labels(
         _connected_components(pairs)
 
 
+def test_connected_components_property_vs_union_find(spark):
+    """Property: on ANY edge list, the distributed pointer-jumping labels
+    equal a sequential union-find's min-label components.  Paths and
+    near-cliques are pinned above; this covers arbitrary topologies
+    (stars, cycles, bridges, self-loops, parallel edges)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    node = st.integers(min_value=0, max_value=40)
+
+    @settings(max_examples=5, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(edges=st.lists(st.tuples(node, node), min_size=1, max_size=60))
+    def run_case(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        labels, _ = _connected_components(pairs)
+        got = {r["doc_id"]: r["rep"] for r in labels.collect()}
+        assert got == expected, (sorted(got.items()),
+                                 sorted(expected.items()))
+
+    run_case()
+
+
 def test_near_dedup_matches_oracle(spark):
     s = near_dedup(spark, SF).toPandas()
     o = _oracle(NEAR_DEDUP_SQL)
