@@ -162,6 +162,30 @@ def test_embedding_near_dup_guards_dim(spark):
         embedding_near_dup_df(bad).collect()
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """Degenerate buckets are dropped, not exploded: a corpus of identical
+    vectors lands in one bucket per table; above EMB_BUCKET_CAP that
+    bucket yields NO pairs (the B²/2 explosion guard), below the cap it
+    yields all C(n,2) pairs, every one a dup (cos = 1)."""
+    from pyspark.sql import functions as F
+    from readability_spark.ops.similarity import (
+        EMB_BUCKET_CAP,
+        embedding_near_dup_df,
+    )
+
+    vec = [0.5] * 64
+    big = spark.range(EMB_BUCKET_CAP + 10).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"array({','.join(['cast(0.5 as float)'] * 64)})")
+        .alias("embedding"))
+    assert embedding_near_dup_df(big).count() == 0
+    n = 40
+    small = big.filter(F.col("vec_id") < n)
+    rows = embedding_near_dup_df(small).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["is_dup"] and r["cos"] == 1.0 for r in rows)
+
+
 def test_embedding_near_dup_finds_planted_duplicates(spark):
     """Design point: at real dedup thresholds (cos ≥ 0.99) per-plane sign
     agreement is ≈ 0.95+, so the L=4 banded tables catch essentially every
