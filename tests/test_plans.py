@@ -143,6 +143,22 @@ def test_embedding_near_dup_scale_shape(spark):
     assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_ivf_assignment_combines_map_side(spark):
+    """IVF's centroid assignment scores 16 candidate rows per corpus
+    vector; the argmax MUST collapse map-side (partial max(struct) before
+    the exchange) so the one shuffle carries corpus-size rows, not 16× —
+    and nothing in the operator degrades to a cartesian product beyond
+    the deliberate broadcast of the 16-centroid table."""
+    from readability_spark.ops.similarity import ivf_topk
+
+    plan = plan_of(ivf_topk(spark, SF))
+    assert "partial_max" in plan, plan
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    # the only nested-loop joins are the broadcast centroid cross-scores
+    # (corpus×16 and queries×16)
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 2, plan
+
+
 def test_near_dedup_scale_shape(spark):
     """The r3 scale guards, plan-locked:
 
