@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_weight": relational.class_weight,
         "users_without_errors": relational.users_without_errors,
         "sessionize": relational.sessionize,
+        "asof_last_error": relational.asof_last_error,
         "pricing_summary": relational.pricing_summary,
         "revenue_forecast": relational.revenue_forecast,
         "top_customers": relational.top_customers,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "class_weight": relational.CLASS_WEIGHT_SQL,
         "users_without_errors": relational.USERS_WITHOUT_ERRORS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
+        "asof_last_error": relational.ASOF_LAST_ERROR_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_forecast": relational.REVENUE_FORECAST_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,

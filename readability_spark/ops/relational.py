@@ -761,3 +761,76 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
          AS session_value_cents
 FROM s GROUP BY 1, 2 ORDER BY user_id, session_no
 """
+
+
+# --- as-of join (event → most recent prior error, per user) -------------------
+
+
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the canonical custom operator Spark's built-in joins
+    don't express directly: for every event, attach the user's most recent
+    error event at-or-before its timestamp (the trades↔quotes shape, here
+    events↔their own error subset).
+
+    Spark-first implementation is the distributed UNION trick, not a range
+    join: tag quote rows (deduped to one per (user, ts) by max event_id —
+    also what makes equal-timestamp ties deterministic in BOTH engines),
+    union them with the event rows, and run ONE window pass per user
+    ordered by (ts, is_event) — quotes sort before events at the same
+    timestamp, so the as-of is inclusive — carrying the last non-null
+    quote id/time forward.  One shuffle on user_id, a sort that spills,
+    zero row multiplication; a naive range join is O(events × errors)
+    per user.  Among same-(ts,is_event) peers the carried value is
+    order-invariant (event rows contribute only NULLs to the carry).
+
+    Elapsed time is exact integer microseconds (Spark timestampdiff
+    MICROSECOND ≡ DuckDB date_diff microsecond — at the finest stored
+    granularity, boundary-crossing counts ARE the exact difference, and
+    the NTZ timestamps never round-trip through a session timezone).
+
+    Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent
+    implementation of the same semantics, not a SQL transliteration of
+    this plan, which makes the cross-check meaningful.
+    """
+    ev = table(spark, sf_dir, "events")
+    quotes = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("qid")))
+    tagged_e = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("qid"),
+        F.lit(1).alias("is_event"))
+    tagged_q = quotes.select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "qid", F.lit(0).alias("is_event"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_event")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (tagged_e.unionByName(tagged_q)
+         .withColumn("last_error_event_id",
+                     F.last("qid", ignorenulls=True).over(w))
+         .withColumn("last_error_ts",
+                     F.last(F.when(F.col("qid").isNotNull(), F.col("ts")),
+                            ignorenulls=True).over(w)))
+    return (
+        u.filter(F.col("is_event") == 1)
+        .select(
+            "event_id", "user_id", "last_error_event_id",
+            F.expr("timestampdiff(MICROSECOND, last_error_ts, ts)")
+            .alias("us_since_error"))
+        .orderBy("event_id")
+    )
+
+
+ASOF_LAST_ERROR_SQL = """
+WITH q AS (
+  SELECT user_id, ts, max(event_id) AS qid
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       q.qid AS last_error_event_id,
+       date_diff('microsecond', q.ts, e.ts) AS us_since_error
+FROM events e
+ASOF LEFT JOIN q ON e.user_id = q.user_id AND e.ts >= q.ts
+ORDER BY e.event_id
+"""

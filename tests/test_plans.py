@@ -143,6 +143,19 @@ def test_embedding_near_dup_scale_shape(spark):
     assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
 
 
+def test_asof_join_has_no_join_nodes(spark):
+    """The as-of join is the union+window trick, NOT a range join: the
+    physical plan must contain zero join operators of any kind — the
+    as-of semantics ride one window pass per user — and no cartesian
+    row multiplication can exist by construction."""
+    from readability_spark.ops.relational import asof_last_error
+
+    plan = plan_of(asof_last_error(spark, SF))
+    assert "Join" not in plan, plan
+    assert nodes(plan, "Window") >= 1, plan
+    assert nodes(plan, "Scan parquet") == 2, plan
+
+
 def test_ivf_assignment_combines_map_side(spark):
     """IVF's centroid assignment scores 16 candidate rows per corpus
     vector; the argmax MUST collapse map-side (partial max(struct) before
