@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_without_errors": relational.users_without_errors,
         "sessionize": relational.sessionize,
         "asof_last_error": relational.asof_last_error,
+        "range_join_nearby": relational.range_join_nearby_orders,
         "pricing_summary": relational.pricing_summary,
         "revenue_forecast": relational.revenue_forecast,
         "top_customers": relational.top_customers,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "users_without_errors": relational.USERS_WITHOUT_ERRORS_SQL,
         "sessionize": relational.SESSIONIZE_SQL,
         "asof_last_error": relational.ASOF_LAST_ERROR_SQL,
+        "range_join_nearby": relational.RANGE_JOIN_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_forecast": relational.REVENUE_FORECAST_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,

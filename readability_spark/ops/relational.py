@@ -834,3 +834,68 @@ FROM events e
 ASOF LEFT JOIN q ON e.user_id = q.user_id AND e.ts >= q.ts
 ORDER BY e.event_id
 """
+
+
+# --- range join (temporal proximity, no equi key) -----------------------------
+
+RANGE_WINDOW_DAYS = 1
+
+
+def range_join_nearby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — the second canonical operator Spark's equi-join engine
+    lacks: for every order, how many OTHER orders were placed within
+    ±RANGE_WINDOW_DAYS of it.  There is no equality key at all; a naive
+    formulation is an O(n²) theta join.
+
+    Spark-first shape is the standard interval-bucketing reduction: bucket
+    time at the window granularity (days), explode the PROBE side to its
+    bucket plus the two adjacent ones, keep the BUILD side at one bucket
+    per row, equi-join on the bucket, then refine with the residual range
+    predicate.  The theta join becomes a hash join whose per-bucket work
+    is (orders/day)² — bounded by data density, not corpus size — and the
+    probe-side explode factor is (window/bucket + 2), here 3.  With
+    day-granular dates and a ±1-day window the bucket join is exact, but
+    the residual predicate is kept: it is what makes the pattern correct
+    for any window/bucket ratio (and it costs nothing after the join).
+    Left join restores zero-neighbor orders.
+
+    Oracle: DuckDB BETWEEN self-join (its IEJoin evaluates the interval
+    predicate natively — again an independent implementation, not a
+    transliteration).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    probe = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+        F.explode(F.array(
+            F.date_sub("o_orderdate", RANGE_WINDOW_DAYS),
+            F.col("o_orderdate"),
+            F.date_add("o_orderdate", RANGE_WINDOW_DAYS))).alias("bucket"))
+    build = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+        F.col("o_orderdate").alias("bucket"))
+    pairs = (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("a_key") != F.col("b_key"))
+            & (F.abs(F.datediff("a_date", "b_date")) <= RANGE_WINDOW_DAYS))
+        .groupBy("a_key").agg(F.count("*").alias("n"))
+    )
+    return (
+        o.join(pairs, o["o_orderkey"] == pairs["a_key"], "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n", F.lit(0)).alias("n_nearby"))
+        .orderBy("o_orderkey")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT a.o_orderkey, CAST(count(b.o_orderkey) AS BIGINT) AS n_nearby
+FROM orders a LEFT JOIN orders b
+  ON b.o_orderkey <> a.o_orderkey
+ AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL {RANGE_WINDOW_DAYS} DAY
+                       AND a.o_orderdate + INTERVAL {RANGE_WINDOW_DAYS} DAY
+GROUP BY 1 ORDER BY 1
+"""

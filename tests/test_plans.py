@@ -156,6 +156,19 @@ def test_asof_join_has_no_join_nodes(spark):
     assert nodes(plan, "Scan parquet") == 2, plan
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """The ±1-day proximity join must execute as a hash/merge EQUI-join on
+    the day bucket (probe side exploded ×3), never as the O(n²) theta
+    join a naive BETWEEN formulation produces."""
+    from readability_spark.ops.relational import range_join_nearby_orders
+
+    plan = plan_of(range_join_nearby_orders(spark, SF))
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert (nodes(plan, "SortMergeJoin") + nodes(plan, "BroadcastHashJoin")
+            + nodes(plan, "ShuffledHashJoin")) >= 2, plan  # bucket + restore
+
+
 def test_ivf_assignment_combines_map_side(spark):
     """IVF's centroid assignment scores 16 candidate rows per corpus
     vector; the argmax MUST collapse map-side (partial max(struct) before
