@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": relational.sessionize,
         "asof_last_error": relational.asof_last_error,
         "range_join_nearby": relational.range_join_nearby_orders,
+        "hypertable_rollup": relational.hypertable_rollup,
         "pricing_summary": relational.pricing_summary,
         "revenue_forecast": relational.revenue_forecast,
         "top_customers": relational.top_customers,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": relational.SESSIONIZE_SQL,
         "asof_last_error": relational.ASOF_LAST_ERROR_SQL,
         "range_join_nearby": relational.RANGE_JOIN_SQL,
+        "hypertable_rollup": relational.HYPERTABLE_ROLLUP_SQL,
         "pricing_summary": relational.PRICING_SUMMARY_SQL,
         "revenue_forecast": relational.REVENUE_FORECAST_SQL,
         "top_customers": relational.TOP_CUSTOMERS_SQL,

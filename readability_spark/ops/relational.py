@@ -899,3 +899,59 @@ FROM orders a LEFT JOIN orders b
                        AND a.o_orderdate + INTERVAL {RANGE_WINDOW_DAYS} DAY
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- hypertable rollup (multi-granularity time buckets, one pass) -------------
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and
+    value sums at hour / day / week granularity in ONE aggregation pass.
+
+    Spark-first shape: each event explodes to its (granularity,
+    bucket_start) memberships, then a single groupBy aggregates all
+    levels together — one shuffle regardless of level count, with
+    map-side partial aggregation collapsing the per-level rows before the
+    exchange (the same explode-to-level trick score_propagation uses).
+    A UNION-of-three-aggregates formulation would scan and shuffle the
+    fact table once per level; at 10^12 rows the single-pass form is the
+    one a continuous-aggregate maintenance job can incrementally refresh
+    per bucket.
+
+    Money is per-row integer cents before summation (the repo-wide
+    cross-engine rule); week truncation uses date_trunc('week') — Monday
+    in both engines (ISO).
+    """
+    ev = table(spark, sf_dir, "events")
+    levels = F.array(*[
+        F.struct(F.lit(g).alias("granularity"),
+                 F.date_trunc(g, F.col("ts")).alias("bucket_start"))
+        for g in ("hour", "day", "week")])
+    return (
+        ev.select(
+            F.explode(levels).alias("l"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy(F.col("l.granularity").alias("granularity"),
+                 F.col("l.bucket_start").alias("bucket_start"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("value_cents"))
+        .orderBy("granularity", "bucket_start")
+    )
+
+
+HYPERTABLE_ROLLUP_SQL = """
+WITH l AS (
+  SELECT granularity,
+         CASE granularity
+           WHEN 'hour' THEN date_trunc('hour', ts)
+           WHEN 'day'  THEN date_trunc('day', ts)
+           ELSE             date_trunc('week', ts)
+         END AS bucket_start,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events, (VALUES ('hour'), ('day'), ('week')) AS g(granularity)
+)
+SELECT granularity, bucket_start,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM l GROUP BY 1, 2 ORDER BY granularity, bucket_start
+"""

@@ -169,6 +169,20 @@ def test_range_join_is_bucketed_equi_join(spark):
             + nodes(plan, "ShuffledHashJoin")) >= 2, plan  # bucket + restore
 
 
+def test_hypertable_rollup_single_shuffle_all_levels(spark):
+    """All three granularity levels must aggregate in ONE pass: a single
+    exchange (plus map-side partials) regardless of level count — a
+    union-of-aggregates would scan and shuffle the fact table per level."""
+    from readability_spark.ops.relational import hypertable_rollup
+
+    plan = plan_of(hypertable_rollup(spark, SF))
+    assert nodes(plan, "Scan parquet") == 1, plan
+    # exactly one data exchange for the grouped aggregation (the trailing
+    # orderBy adds one range-partitioning exchange for the sort)
+    assert nodes(plan, "Exchange") == 2, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+
+
 def test_ivf_assignment_combines_map_side(spark):
     """IVF's centroid assignment scores 16 candidate rows per corpus
     vector; the argmax MUST collapse map-side (partial max(struct) before
