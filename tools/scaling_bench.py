@@ -221,7 +221,8 @@ comparable on this host.
 {bench_table}
 
 Reference band from the interleaved scaling runs at local[32]
-(tp÷ctl per history row): 0.18-0.23 typical, 0.54 best recorded window.
+(tp÷ctl per history row): 0.18-0.23 typical in stolen windows; best
+recorded 0.63 (2026-08-17 golden window, 1967 turns/s).
 
 **r2→r3 swing adjudication (r4, 2026-08-16):** BENCH_r03's raw numbers
 looked 3-5× worse than BENCH_r02 on the identical corpus
