@@ -58,13 +58,13 @@ def get_elements_by_tag_name(el: VElement, tags) -> list[VElement]:
         t = tags.lower()
         while stack:
             node = stack.pop()
+            if node.nodeType != "element":
+                continue
             if node.tag == t:
                 out.append(node)
             children = node.children
-            for i in range(len(children) - 1, -1, -1):
-                c = children[i]
-                if c.nodeType == "element":
-                    stack.append(c)
+            if children:
+                stack += children[::-1]
         return out
     if isinstance(tags, str):
         tags = (tags,)
@@ -72,13 +72,13 @@ def get_elements_by_tag_name(el: VElement, tags) -> list[VElement]:
     wild = "*" in tagset
     while stack:
         node = stack.pop()
+        if node.nodeType != "element":
+            continue
         if wild or node.tag in tagset:
             out.append(node)
         children = node.children
-        for i in range(len(children) - 1, -1, -1):
-            c = children[i]
-            if c.nodeType == "element":
-                stack.append(c)
+        if children:
+            stack += children[::-1]
     return out
 
 
@@ -89,17 +89,18 @@ def collect_by_tags(el: VElement, tags) -> dict[str, list[VElement]]:
     inclusive).  Collapses the per-tag-loop hot paths (candidate scoring
     scans 9 tags, the improved classifier 7) into a single traversal."""
     out: dict[str, list[VElement]] = {t.lower(): [] for t in tags}
+    get = out.get
     stack = [el]
     while stack:
         node = stack.pop()
-        bucket = out.get(node.tag)
+        if node.nodeType != "element":
+            continue
+        bucket = get(node.tag)
         if bucket is not None:
             bucket.append(node)
         children = node.children
-        for i in range(len(children) - 1, -1, -1):
-            c = children[i]
-            if c.nodeType == "element":
-                stack.append(c)
+        if children:
+            stack += children[::-1]
     return out
 
 

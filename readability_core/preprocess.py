@@ -16,12 +16,18 @@ _REMOVE_SET = frozenset(TAGS_TO_REMOVE)
 
 
 def is_likely_ad(el: VElement) -> bool:
-    """preprocess.ts:114-138."""
-    combined = f"{el.class_name} {el.id}"
-    for pat in AD_PATTERNS:
-        if pat.search(combined):
-            return True
+    """preprocess.ts:114-138.
+
+    Attribute-less elements short-circuit: the combined pattern cannot
+    match the bare `" "` separator and every other probe reads attrs."""
     a = el.attrs
+    if not a:
+        return False
+    combined = f"{el.class_name} {el.id}"
+    if combined != " ":
+        for pat in AD_PATTERNS:
+            if pat.search(combined):
+                return True
     return (
         a.get("role") == "advertisement"
         or "data-ad" in a
@@ -31,39 +37,72 @@ def is_likely_ad(el: VElement) -> bool:
 
 
 def preprocess_document(doc: VDocument) -> VDocument:
-    """preprocess.ts:62-70 — remove unwanted tags, then ads."""
+    """preprocess.ts:62-70 — remove unwanted tags, then ads.
+
+    Implementation note (hot path): the original shape was four full tree
+    walks — remove-set scan, post-splice "*" ad scan, and two cache-clear
+    walks.  Both scans are fused into two collection walks done UP FRONT,
+    which is result-identical because (a) ``is_likely_ad`` reads only the
+    node's own attributes, never tree state, so evaluating it before the
+    pass-1 splices cannot change its verdict, and (b) the only extra nodes
+    the pre-splice ad walk sees live inside subtrees pass 1 detaches —
+    removing such a node from its (detached) parent leaves the final
+    reachable tree untouched, exactly like the reference's
+    already-detached ``remove()`` no-op.  Memoized-text invalidation rides
+    the same walks: nodes holding a cache are noted during collection
+    (caches are only ever populated BEFORE preprocess, by the fused
+    structure-detection pass, and nothing here repopulates them), and only
+    those — typically zero — are cleared afterwards."""
+    # walk 1: documentElement subtree — remove-set hits + dirty caches
+    remove_hits = []
+    dirty = []
+    stack = [doc.document_element]
+    while stack:
+        node = stack.pop()
+        if node.nodeType != "element":
+            continue
+        if node.tag in _REMOVE_SET:
+            remove_hits.append(node)
+        if node.txt_cache is not None or node.norm_cache is not None:
+            dirty.append(node)
+        children = node.children
+        if children:
+            stack += children[::-1]
+    # walk 2: body subtree (root-inclusive, possibly detached for fragment
+    # inputs) — ad hits + dirty caches (body may not hang off the root)
+    ad_hits = []
+    stack = [doc.body]
+    while stack:
+        node = stack.pop()
+        if node.nodeType != "element":
+            continue
+        if node.attrs and is_likely_ad(node):
+            ad_hits.append(node)
+        if node.txt_cache is not None or node.norm_cache is not None:
+            dirty.append(node)
+        children = node.children
+        if children:
+            stack += children[::-1]
     # 1. unwanted tags (preprocess.ts:75-90): splice matching subtrees out
-    for el in get_elements_by_tag_name(doc.document_element, _REMOVE_SET):
+    for el in remove_hits:
         parent = el.parent
         if parent is not None:
             try:
                 parent.children.remove(el)
             except ValueError:
                 pass  # already detached via an ancestor
-    # 2. ad elements under body (preprocess.ts:95-109)
-    for el in get_elements_by_tag_name(doc.body, "*"):
+    # 2. ad elements under body (preprocess.ts:95-109); the ad pass can
+    # splice the body itself out of the documentElement (root-inclusive
+    # scan — faithful to the reference)
+    for el in ad_hits:
         parent = el.parent
-        if parent is not None and is_likely_ad(el):
+        if parent is not None:
             try:
                 parent.children.remove(el)
             except ValueError:
                 pass
-    # 3. invalidate memoized inner text: anything that read text BEFORE
-    # preprocessing (e.g. the fused structure-detection pass) populated
-    # txt_cache on nodes whose subtrees just changed — stale caches would
-    # silently corrupt candidate scoring.  Clear from the body too: the
-    # ad pass above can splice the body itself out of the documentElement
-    # (root-inclusive tag scan — faithful to the reference) while the doc
-    # keeps using the detached body
-    _clear_text_caches(doc.document_element)
-    _clear_text_caches(doc.body)
-    return doc
-
-
-def _clear_text_caches(root) -> None:
-    stack = [root]
-    while stack:
-        node = stack.pop()
+    # 3. invalidate memoized inner text populated before preprocessing
+    for node in dirty:
         node.txt_cache = None
         node.norm_cache = None
-        stack.extend(c for c in node.children if c.nodeType == "element")
+    return doc

@@ -264,7 +264,25 @@ class _TreeBuilder(HTMLParser):
 
 
 def parse_html(html: str, base_uri: str = "about:blank") -> VDocument:
-    """Parse HTML into a VDocument (reference: src/parsers/htmlparser2.ts:18-132)."""
+    """Parse HTML into a VDocument (reference: src/parsers/htmlparser2.ts:18-132).
+
+    Uses the fused single-pass tokenizer (htmltok.build_tree); the
+    html.parser-driven builder below is kept as ``parse_html_stdlib`` and
+    the two are asserted tree-equal by tests/test_tokenizer_diff.py."""
+    from .htmltok import build_tree
+    doc = VDocument(base_uri)
+    try:
+        build_tree(html, doc)
+    except Exception:
+        # lenient: keep whatever tree was built before the tokenizer choked
+        pass
+    return doc
+
+
+def parse_html_stdlib(html: str, base_uri: str = "about:blank") -> VDocument:
+    """Reference implementation of :func:`parse_html` driven by CPython's
+    html.parser.  Kept solely as the differential-canary oracle — a stdlib
+    contract change OR a fast-tokenizer bug fails the diff suite loudly."""
     doc = VDocument(base_uri)
     builder = _TreeBuilder(doc)
     try:
