@@ -223,18 +223,26 @@ def build_link_index(doc) -> list:
     for root in (doc.document_element, doc.body):
         if id(root) in seen:
             continue
-        # DFS with explicit ancestor-id stack
-        stack = [(root, ())]
+        # DFS with a persistent cons-cell ancestor chain: O(1) to extend per
+        # node (a tuple concat was O(depth) per node); flattened to a
+        # frozenset only at the links themselves
+        stack = [(root, None)]
         while stack:
             node, anc = stack.pop()
-            if id(node) in seen:
+            nid = id(node)
+            if nid in seen:
                 continue
-            seen.add(id(node))
-            anc_here = anc + (id(node),)
+            seen.add(nid)
+            anc_here = (nid, anc)
             if node.tag == "a":
                 href = node.attrs.get("href") or None
                 coeff = 0.3 if (href and href.startswith("#")) else 1.0
-                index.append((frozenset(anc_here),
+                ids = []
+                cell = anc_here
+                while cell is not None:
+                    ids.append(cell[0])
+                    cell = cell[1]
+                index.append((frozenset(ids),
                               len(get_inner_text(node)) * coeff))
             for c in node.children:
                 if c.nodeType == "element":

@@ -24,6 +24,7 @@ from .classify import ARTICLE, OTHER, classify_page_type
 from .classify_improved import classify_improved, classify_snapshot_score
 from .constants import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES
 from .metadata import (
+    collect_metadata_nodes,
     extract_links,
     get_article_byline,
     get_article_lang,
@@ -144,10 +145,14 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     run any raw-tree analysis (structure detection) before calling this."""
     preprocess_document(doc)
 
-    title = get_article_title(doc)
-    byline = get_article_byline(doc)
+    # two-walk pre-collection shared by all metadata extractors + links
+    # (behavior-identical — see collect_metadata_nodes; scoring below never
+    # mutates the tree, so the 'a' list stays valid for extract_links)
+    md_nodes = collect_metadata_nodes(doc)
+    title = get_article_title(doc, md_nodes)
+    byline = get_article_byline(doc, md_nodes)
     lang = get_article_lang(doc)
-    site_name = get_article_site_name(doc)
+    site_name = get_article_site_name(doc, md_nodes)
 
     # per-document link index: O(links) density checks instead of a
     # subtree walk per candidate (identical results — see build_link_index)
@@ -155,7 +160,7 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     candidates = find_main_candidates(doc, nb_top_candidates, link_index)
     candidate_scores = [float(c.score or 0.0) for c in candidates]
 
-    links = extract_links(doc)
+    links = extract_links(doc, md_nodes)
 
     # ARIA tree is built from the preprocessed doc (extract.ts:816);
     # persisted as the rendered snapshot string + node count

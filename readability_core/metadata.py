@@ -10,27 +10,50 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .dom import get_elements_by_tag_name, get_inner_text, js_trim
+from .dom import collect_by_tags, get_elements_by_tag_name, get_inner_text, \
+    js_trim
 from .vdom import VDocument
 
 
-def get_article_title(doc: VDocument) -> Optional[str]:
+def collect_metadata_nodes(doc: VDocument) -> dict:
+    """Pre-collect every node set the metadata extractors scan, in TWO tree
+    walks instead of six (title/meta off the documentElement; h1/h2/a off
+    the body).  Each list is element-for-element what the corresponding
+    ``get_elements_by_tag_name`` call returns — collect_by_tags guarantees
+    identical document order — so passing the result as ``nodes=`` to the
+    functions below is behavior-identical to their self-scanning default.
+    Only valid while the tree is unmutated (i.e. after preprocess; scoring
+    never splices)."""
+    de = collect_by_tags(doc.document_element, ("title", "meta"))
+    body = collect_by_tags(doc.body, ("h1", "h2", "a"))
+    return {"title": de["title"], "meta": de["meta"],
+            "h1": body["h1"], "h2": body["h2"], "a": body["a"]}
+
+
+def get_article_title(doc: VDocument, nodes: Optional[dict] = None
+                      ) -> Optional[str]:
     """<title> → single <h1> → first h1/h2 (extract.ts:488-513)."""
-    titles = get_elements_by_tag_name(doc.document_element, "title")
+    titles = (nodes["title"] if nodes is not None else
+              get_elements_by_tag_name(doc.document_element, "title"))
     if titles:
         return get_inner_text(titles[0])
-    h1s = get_elements_by_tag_name(doc.body, "h1")
+    h1s = (nodes["h1"] if nodes is not None else
+           get_elements_by_tag_name(doc.body, "h1"))
     if len(h1s) == 1:
         return get_inner_text(h1s[0])
-    headings = h1s + get_elements_by_tag_name(doc.body, "h2")
+    headings = h1s + (nodes["h2"] if nodes is not None else
+                      get_elements_by_tag_name(doc.body, "h2"))
     if headings:
         return get_inner_text(headings[0])
     return None
 
 
-def get_article_byline(doc: VDocument) -> Optional[str]:
+def get_article_byline(doc: VDocument, nodes: Optional[dict] = None
+                       ) -> Optional[str]:
     """meta author/og:author/article:author → <a rel=author> (extract.ts:518-548)."""
-    for meta in get_elements_by_tag_name(doc.document_element, "meta"):
+    metas = (nodes["meta"] if nodes is not None else
+             get_elements_by_tag_name(doc.document_element, "meta"))
+    for meta in metas:
         name = (meta.attrs.get("name") or "").lower()
         prop = (meta.attrs.get("property") or "").lower()
         content = meta.attrs.get("content")
@@ -38,7 +61,9 @@ def get_article_byline(doc: VDocument) -> Optional[str]:
             continue
         if name == "author" or prop in ("author", "og:author", "article:author"):
             return content
-    for a in get_elements_by_tag_name(doc.body, "a"):
+    anchors = (nodes["a"] if nodes is not None else
+               get_elements_by_tag_name(doc.body, "a"))
+    for a in anchors:
         if a.attrs.get("rel") == "author":
             text = get_inner_text(a)
             if text:
@@ -51,9 +76,11 @@ def get_article_lang(doc: VDocument) -> Optional[str]:
     return doc.document_element.attrs.get("lang") or None
 
 
-def get_article_site_name(doc: VDocument) -> Optional[str]:
+def get_article_site_name(doc: VDocument, nodes: Optional[dict] = None
+                          ) -> Optional[str]:
     """og:site_name → application-name (extract.ts:566-589)."""
-    metas = get_elements_by_tag_name(doc.document_element, "meta")
+    metas = (nodes["meta"] if nodes is not None else
+             get_elements_by_tag_name(doc.document_element, "meta"))
     for meta in metas:
         prop = (meta.attrs.get("property") or "").lower()
         content = meta.attrs.get("content")
@@ -67,10 +94,12 @@ def get_article_site_name(doc: VDocument) -> Optional[str]:
     return None
 
 
-def extract_links(doc: VDocument) -> list[dict]:
+def extract_links(doc: VDocument, nodes: Optional[dict] = None) -> list[dict]:
     """All <a href> excluding javascript: links (extract.ts:594-616)."""
     links: list[dict] = []
-    for el in get_elements_by_tag_name(doc.body, "a"):
+    anchors = (nodes["a"] if nodes is not None else
+               get_elements_by_tag_name(doc.body, "a"))
+    for el in anchors:
         href = el.attrs.get("href") or None
         if href and not href.lower().startswith("javascript:"):
             links.append({

@@ -23,8 +23,10 @@ def is_likely_ad(el: VElement) -> bool:
     a = el.attrs
     if not a:
         return False
-    combined = f"{el.class_name} {el.id}"
-    if combined != " ":
+    cls = a.get("class")
+    eid = a.get("id")
+    if cls or eid:
+        combined = f"{cls or ''} {eid or ''}"
         for pat in AD_PATTERNS:
             if pat.search(combined):
                 return True
@@ -53,13 +55,19 @@ def preprocess_document(doc: VDocument) -> VDocument:
     (caches are only ever populated BEFORE preprocess, by the fused
     structure-detection pass, and nothing here repopulates them), and only
     those — typically zero — are cleared afterwards."""
-    # walk 1: documentElement subtree — remove-set hits + dirty caches
+    # walk 1: documentElement subtree MINUS the body subtree (descent stops
+    # at the body node) — remove-set hits + dirty caches.  Splice order
+    # within a pass is immaterial: each removal touches only its own
+    # parent's child list and already-detached nodes are no-ops, so
+    # partitioning the remove-set scan across the two walks is
+    # result-identical to one pre-order scan.
+    body_node = doc.body
     remove_hits = []
     dirty = []
     stack = [doc.document_element]
     while stack:
         node = stack.pop()
-        if node.nodeType != "element":
+        if node.nodeType != "element" or node is body_node:
             continue
         if node.tag in _REMOVE_SET:
             remove_hits.append(node)
@@ -69,13 +77,15 @@ def preprocess_document(doc: VDocument) -> VDocument:
         if children:
             stack += children[::-1]
     # walk 2: body subtree (root-inclusive, possibly detached for fragment
-    # inputs) — ad hits + dirty caches (body may not hang off the root)
+    # inputs) — remove-set hits + ad hits + dirty caches in one visit
     ad_hits = []
-    stack = [doc.body]
+    stack = [body_node]
     while stack:
         node = stack.pop()
         if node.nodeType != "element":
             continue
+        if node.tag in _REMOVE_SET:
+            remove_hits.append(node)
         if node.attrs and is_likely_ad(node):
             ad_hits.append(node)
         if node.txt_cache is not None or node.norm_cache is not None:

@@ -60,7 +60,9 @@ def stringify(el: Optional[VElement]) -> str:
         result = result[:-1]            # remove ONE trailing space
     if is_block:
         result += "\n"
-    return _RE_NL2.sub("\n", result)
+    if "\n\n" in result:                # sub is a no-op otherwise
+        return _RE_NL2.sub("\n", result)
+    return result
 
 
 def format_document(text: str) -> str:
@@ -250,9 +252,26 @@ def _convert_node_body(node: VNode, parent_tag: Optional[str],
     is_block = tag in _MD_BLOCK
 
     child_depth = depth + 1 if tag in ("ul", "ol", "blockquote") else depth
-    children_results = [
-        _convert_node(c, tag, child_depth, memo) for c in el.children
-    ]
+    # text children inlined (identical to _convert_node's text branch with
+    # parent_tag == tag): skips the memo machinery for roughly half the
+    # per-node conversions
+    if tag == "pre" or tag == "code":
+        children_results = [
+            c.text if c.nodeType == "text"
+            else _convert_node(c, tag, child_depth, memo)
+            for c in el.children
+        ]
+    else:
+        children_results = []
+        ap = children_results.append
+        for c in el.children:
+            if c.nodeType == "text":
+                text = c.text
+                if "\t" in text or "  " in text:
+                    text = _RE_SPACE_TAB.sub(" ", text)
+                ap(_escape_markdown(text) if text else "")
+            else:
+                ap(_convert_node(c, tag, child_depth, memo))
     children_md = _join_md_parts(children_results)
     trimmed = js_trim(children_md)
 
