@@ -95,21 +95,86 @@ def salt_and_partition(df: DataFrame, num_buckets: int) -> DataFrame:
 
 
 def run_extraction(df: DataFrame, num_buckets: int | None = None,
-                   char_threshold: int = 500) -> DataFrame:
+                   char_threshold: int = 500,
+                   whale_safe_bytes: int | None = None) -> DataFrame:
     """transcripts → per-turn extraction results (flat columns).
 
     Physical plan: Scan → Project(conv_id, turn_idx, role, text) →
     Exchange(hash bucket_id) → ArrowEvalPython(extract_udf) → Project.
     One shuffle total; the scan only reads the 4 needed columns.
+
+    ``whale_safe_bytes``: Arrow input batches for a scalar pandas UDF are
+    sliced by RECORD COUNT only (Spark 4.1 honors maxBytesPerBatch solely in
+    the transformWithState serializers), so with the default 64-row batch a
+    pathological run of 8 MB-cap documents could stage a ~512 MB batch in
+    the python worker.  Setting this threshold splits extraction into two
+    tiers with HARD per-batch byte bounds:
+
+    - light rows (< threshold) keep the 64-row scalar-UDF path, bounding a
+      batch at 64×threshold bytes (64 MB at the 1 MB default threshold);
+    - whale rows are grouped by (conv_id, turn_idx) — singleton groups —
+      through applyInPandas, where each GROUP is the transfer unit, so the
+      worker never stages more than one whale (≤ MAX_HTML_BYTES) at a
+      time.  The whale tier shuffles only its own (rare) rows and skips
+      the salt exchange entirely (bucket_id rides along as a column; the
+      grouping exchange already randomizes placement).
+
+    Cost honesty: the size predicate is not expressible against parquet
+    footer stats, so the two tiers are two scans of the source.  This mode
+    is therefore OPT-IN for corpora where whales actually occur; the
+    default None keeps the measured single-tier / single-shuffle plan,
+    where whale damage is already capped by MAX_HTML_BYTES truncation.
+    (The single-scan alternative — persisting the salted exchange — trades
+    the rescan for materializing the full corpus in executor storage;
+    at 100 TB the rescan is the cheaper side of that trade.)
     """
     if num_buckets is None:
         num_buckets = n_buckets_for(df.sparkSession)
     udf = extract_udf if char_threshold == 500 else make_extract_udf(char_threshold)
     cols = [c for c in ("conv_id", "turn_idx", "role") if c in df.columns]
     salted = salt_and_partition(df.select(*cols, "text"), num_buckets)
-    out = salted.withColumn("x", udf(F.col("text"))).select(
+    if whale_safe_bytes is None:
+        return salted.withColumn("x", udf(F.col("text"))).select(
+            *cols, "bucket_id", "x.*")
+
+    from pyspark.sql import types as T
+
+    from .schema import EXTRACT_SCHEMA
+    from .udfs import _FIELDS, _extract_record, _to_frame
+
+    # coalesce: octet_length(NULL) is NULL, which would drop null-text rows
+    # from BOTH tiers
+    size = F.coalesce(F.octet_length("text"), F.lit(0))
+    light = salted.filter(size < whale_safe_bytes)
+
+    light_out = light.withColumn("x", udf(F.col("text"))).select(
         *cols, "bucket_id", "x.*")
-    return out
+
+    # whale tier: no salt repartition (the groupBy exchange is the only
+    # shuffle these rows need); bucket_id is computed as a plain column so
+    # lineage/metrics stay uniform across tiers
+    heavy = (df.select(*cols, "text")
+             .filter(size >= whale_safe_bytes)
+             .withColumn(
+                 "bucket_id",
+                 F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                        F.lit(num_buckets)).cast("int")))
+
+    pass_cols = [*cols, "bucket_id"]
+    out_schema = T.StructType(
+        [salted.schema[c] for c in pass_cols] + list(EXTRACT_SCHEMA.fields))
+
+    def _extract_group(pdf):
+        out = _to_frame(
+            [_extract_record(t, char_threshold) for t in pdf["text"]],
+            _FIELDS)
+        for i, c in enumerate(pass_cols):
+            out.insert(i, c, pdf[c].values)
+        return out
+
+    heavy_out = heavy.groupBy("conv_id", "turn_idx").applyInPandas(
+        _extract_group, schema=out_schema)
+    return light_out.unionByName(heavy_out)
 
 
 def derive_metrics(results: DataFrame, attempt: int = 1,
@@ -197,7 +262,8 @@ def _is_path_missing(e: Exception) -> bool:
 def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  metrics_path: str, num_buckets: int | None = None,
                  char_threshold: int = 500, fmt: str = "parquet",
-                 resume: bool = True) -> dict:
+                 resume: bool = True,
+                 whale_safe_bytes: int | None = None) -> dict:
     """Full job: read → (resume anti-join) → salt → extract → write + metrics.
 
     ``fmt`` is "parquet" here; on an Iceberg-catalog cluster pass
@@ -268,7 +334,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     # next attempt is computed from max(attempt) across BOTH tables (above),
     # the copies are guaranteed to carry distinct attempts, so keep-max-
     # attempt per (conv_id, turn_idx) dedups them deterministically
-    results = run_extraction(df, num_buckets, char_threshold) \
+    results = run_extraction(df, num_buckets, char_threshold,
+                             whale_safe_bytes=whale_safe_bytes) \
         .withColumn("attempt", F.lit(attempt))
     results.persist(StorageLevel.MEMORY_AND_DISK)
     try:
