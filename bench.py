@@ -101,25 +101,46 @@ def main() -> None:
     }
 
     warm_workers(spark)
-    # Noise control sample A — this VM's effective CPU swings 5-7x between
-    # minutes (the r2→r3 "5x swing" was exactly this ambiguity), so a raw
-    # wall number can't distinguish a regression from a stolen window.  A
-    # plain multiprocessing pool doing the SAME per-doc extraction (no
-    # Spark) reports what the silicon offered; sampled BEFORE and AFTER
-    # the timed region (best-of-2) because a single sample can land on a
-    # stolen minute the measurement didn't see (observed 285 vs 2362
-    # docs/s twenty seconds apart).  The JVM is idle while it runs.
-    from tools.scaling_bench import mp_control
-    ctl_a, _ = (mp_control(CPUS) if not extract_only else (0.0, 0))
+    # Noise control — this VM's effective CPU swings 5-7x between minutes
+    # (the r2→r3 "5x swing" was exactly this ambiguity), so a raw wall
+    # number can't distinguish a regression from a stolen window.  A plain
+    # multiprocessing pool doing the SAME per-doc extraction (no Spark)
+    # reports what the silicon offered.  K interleaved (control, extract)
+    # PAIRS tighten the band: each extract run is normalized by the control
+    # sampled seconds before it, so a stolen minute hits both sides of one
+    # pair instead of silently skewing a lone global ratio (observed 285 vs
+    # 2362 control docs/s twenty seconds apart).  The JVM is idle while
+    # each control runs.  The median pair ratio is the round-over-round
+    # comparable; the spread (max/min pair) says how trustworthy it is.
+    from statistics import median
 
-    # steady-state measurement: two runs, keep the faster (first run still
-    # pays residual JIT/page-cache warmup)
-    dt1, n = run_extract(spark)
-    dt2, _ = run_extract(spark)
-    dt = min(dt1, dt2)
+    from tools.scaling_bench import mp_control
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    pair_ratios: list[float] = []
+    ctl_samples: list[float] = []
+    runs: list[float] = []
+    n = 0
+    for _ in range(max(1, reps) if not extract_only else 2):
+        if not extract_only:
+            ctl_i, _ = mp_control(CPUS)
+            ctl_samples.append(ctl_i)
+        dt_i, n = run_extract(spark)
+        runs.append(dt_i)
+    if not extract_only:
+        # closing bracket: every extract run is now flanked by a control
+        # on each side; normalize by the max of its two neighbors (a
+        # stolen minute usually depresses only one of them)
+        ctl_i, _ = mp_control(CPUS)
+        ctl_samples.append(ctl_i)
+        for i, dt_i in enumerate(runs):
+            c = max(ctl_samples[i], ctl_samples[i + 1])
+            if c > 0:
+                pair_ratios.append((n / dt_i) / c)
+    dt = min(runs)
     queries["extract_throughput"] = round(dt, 3)
     extra["turns_per_sec"] = round(n / dt, 1)
-    extra["runs_sec"] = [round(dt1, 3), round(dt2, 3)]
+    extra["runs_sec"] = [round(x, 3) for x in runs]
 
     if not extract_only:
         import __spark_entry__ as entrymod
@@ -170,17 +191,26 @@ def main() -> None:
     }
     spark.stop()
 
-    # Noise control sample B (see sample A above), after spark.stop() so
-    # pool and JVM never compete.  The normalized ratio
-    # pipeline-throughput ÷ best-control-throughput is the
-    # round-over-round comparable the raw wall number can't be.
+    # Final control sample after spark.stop() so pool and JVM never
+    # compete; it joins the per-pair samples for the legacy best-control
+    # ratio (band continuity with rounds 1-4).
     if not extract_only:
         ctl_b, _ = mp_control(CPUS)
-        ctl = max(ctl_a, ctl_b)
-        extra["control_docs_per_sec"] = round(ctl, 1)
-        extra["control_samples"] = [round(ctl_a, 1), round(ctl_b, 1)]
-        extra["normalized_tp_over_control"] = round(
-            extra["turns_per_sec"] / ctl, 3)
+        ctl_samples.append(ctl_b)
+        ctl = max(ctl_samples)
+        extra["control_samples"] = [round(x, 1) for x in ctl_samples]
+        if ctl > 0:  # a relocated/empty BENCH data dir must not crash the
+            extra["control_docs_per_sec"] = round(ctl, 1)  # finished run
+            extra["normalized_tp_over_control"] = round(
+                extra["turns_per_sec"] / ctl, 3)
+        if pair_ratios:
+            # the round-over-round comparable: median of per-pair ratios
+            # (each extract normalized by ITS adjacent control), plus the
+            # spread that says whether this round's number is trustworthy
+            extra["normalized_pairs"] = [round(x, 3) for x in pair_ratios]
+            extra["normalized_median"] = round(median(pair_ratios), 3)
+            extra["normalized_spread"] = round(
+                max(pair_ratios) / min(pair_ratios), 2)
         # round-over-round band tracking: the driver snapshots one JSON per
         # round, but the band only emerges across runs — append every full
         # bench here so normalized ratios can be compared within the repo

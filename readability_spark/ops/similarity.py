@@ -512,10 +512,15 @@ def embedding_near_dup_df(emb: DataFrame, dim: int = EMB_DIM,
     )
 
 
-def _embedding_dedup_sql() -> str:
+def _embedding_dedup_sql(threshold: float = EMB_DUP_THRESHOLD) -> str:
     """DuckDB mirror: identical band signatures (1-indexed arrays),
     UNION ALL stacking, capped bucket self-join for pairs, explicit-chain
-    cosine, identical rounding before the threshold."""
+    cosine, identical rounding before the threshold.
+
+    ``threshold`` is the SAME parameter ``embedding_near_dup_df`` takes —
+    generate the oracle for a non-default threshold from here so the pair
+    can never silently diverge (the module-level EMBEDDING_DEDUP_SQL is
+    this function at the default, matching the gate entry)."""
     sigs = ", ".join(
         f"({_table_sig_expr(t, EMB_DIM, var='cast(embedding[{i}] as double)', base=1)})"
         f" AS b{t}" for t in range(L_TABLES))
@@ -540,7 +545,7 @@ pairs AS (
 )
 SELECT p.vec_a, p.vec_b,
        round({cos}, 6) AS cos,
-       round({cos}, 6) >= {EMB_DUP_THRESHOLD} AS is_dup
+       round({cos}, 6) >= {threshold} AS is_dup
 FROM pairs p
 JOIN embeddings ea ON ea.vec_id = p.vec_a
 JOIN embeddings eb ON eb.vec_id = p.vec_b
@@ -562,13 +567,21 @@ IVF_NPROBE = 4        # centroid lists probed per query
 IVF_FIRST = N_QUERIES
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str,
+             nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF ANN top-k — the third scale path besides sign-LSH bucketing and
     band-OR: a coarse quantizer assigns every corpus vector to its nearest
     of IVF_K centroids (one partial-aggregated shuffle of corpus size: the
     16 candidate rows per vector collapse map-side via max(struct)), each
-    query probes its IVF_NPROBE nearest centroid lists, and exact cosine
+    query probes its ``nprobe`` nearest centroid lists, and exact cosine
     re-ranks only vectors in probed lists.
+
+    ``nprobe`` is the recall dial (default IVF_NPROBE=4, the gate entry's
+    fixed config): work scales ~linearly with it while recall rises toward
+    exact — at nprobe=IVF_K every list is probed, candidates = the whole
+    corpus, and the result IS the brute-force top-k.  The recall-vs-nprobe
+    curve is pinned in tests/test_ann_quality.py; generate a matching
+    oracle for a non-default setting with ``_ivf_topk_sql(nprobe=...)``.
 
     Ranking determinism across engines: assignment and probe order are
     (cos DESC, centroid_id ASC); Spark expresses that as
@@ -612,7 +625,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("centroid_id"))
     probes = (probe_scored.withColumn("pr", F.row_number().over(w_probe))
-              .filter(F.col("pr") <= IVF_NPROBE)
+              .filter(F.col("pr") <= nprobe)
               .select("query_id", "centroid_id"))
     # candidates: corpus vectors whose list is probed; exact re-rank
     cand = assigned.join(F.broadcast(probes), "centroid_id") \
@@ -631,7 +644,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(nprobe: int = IVF_NPROBE) -> str:
     cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
     cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
     cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
@@ -655,7 +668,7 @@ WITH cents AS (
              AS pr
     FROM embeddings q CROSS JOIN cents c
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE pr <= {IVF_NPROBE}
+  ) WHERE pr <= {nprobe}
 ), cand AS (
   SELECT p.query_id, a.neighbor_id
   FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id

@@ -254,9 +254,16 @@ def _is_path_missing(e: Exception) -> bool:
         cls = e.getCondition()
     except Exception:
         cls = None
+    if cls:
+        # structured error condition available: trust it alone — a genuine
+        # FS/corruption error whose MESSAGE merely embeds one of these
+        # tokens (e.g. a wrapped cause chain) must not read as "fresh run"
+        return cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    # no condition (older Spark / plain analysis error): message fallback,
+    # including the legacy pre-error-class phrasing for portability
     msg = str(e)
-    return (cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-            or "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg)
+    return ("PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg)
 
 
 def run_pipeline(spark: SparkSession, input_path: str, output_path: str,

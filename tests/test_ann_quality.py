@@ -214,3 +214,45 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
     extra = {p for p in dup - planted
              if p[0] >= 100000 or p[1] >= 100000}
     assert not extra, sorted(extra)[:5]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ivf_nprobe_recall_curve(spark, sf_dir):
+    """The nprobe dial must buy recall monotonically: measured curve at
+    sf0.001 is 0.44 / 0.56 / 0.72 / 1.00 for nprobe 2/4/8/16.  Pinned:
+    non-decreasing, >= 0.7 at nprobe=8, and EXACT (1.0) at nprobe=IVF_K —
+    probing every list makes the candidate set the whole corpus, so the
+    re-rank degenerates to brute force by construction."""
+    from readability_spark.ops.similarity import IVF_K, ivf_topk
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    recalls = {}
+    for np_ in (2, 4, 8, IVF_K):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(spark, sf_dir, nprobe=np_).collect()}
+        recalls[np_] = len(exact & got) / len(exact)
+    vals = [recalls[k] for k in (2, 4, 8, IVF_K)]
+    assert vals == sorted(vals), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[8] >= 0.7, f"recall@5 at nprobe=8 regressed: {recalls[8]:.2f}"
+    assert recalls[IVF_K] == 1.0, (
+        f"nprobe=IVF_K must equal brute force: {recalls[IVF_K]:.2f}")
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ivf_nondefault_nprobe_tracks_oracle(spark, sf_dir):
+    """The generated oracle must follow the dial, not the default."""
+    import duckdb
+
+    from readability_spark.ops.similarity import _ivf_topk_sql, ivf_topk
+
+    got = ivf_topk(spark, sf_dir, nprobe=8) \
+        .select("query_id", "rank", "neighbor_id").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    exp = con.execute(_ivf_topk_sql(nprobe=8)).df()
+    assert len(got) == len(exp)
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (g["neighbor_id"].astype(int) == e["neighbor_id"].astype(int)).all()

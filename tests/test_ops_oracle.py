@@ -97,3 +97,27 @@ def test_media_features_null_text_parity(spark, tmp_path):
     # NULL and '' normalize to the SAME feature (md5 of empty payload)
     assert got[0]["feature_csv"] == got[2]["feature_csv"]
     assert got[0]["n_bytes"] == 0
+
+
+def test_embedding_dedup_threshold_param_tracks_oracle(spark):
+    """A non-default threshold must flow into BOTH the operator and its
+    generated oracle (the module-level pair only covers the default)."""
+    from readability_spark.ops.similarity import (
+        _embedding_dedup_sql, embedding_near_dup_df)
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    got = embedding_near_dup_df(emb, threshold=0.3) \
+        .select("vec_a", "vec_b", "cos", "is_dup").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    exp = con.execute(_embedding_dedup_sql(threshold=0.3)).df()
+    assert len(got) == len(exp)
+    assert bool(got["is_dup"].any())          # 0.3 flags strictly more than 0.4
+    assert got["is_dup"].sum() > 0
+    got_s = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    assert (got_s["is_dup"].astype(bool) == exp_s["is_dup"].astype(bool)).all()
+    assert (got_s["cos"] - exp_s["cos"]).abs().max() < 1e-9

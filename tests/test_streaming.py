@@ -282,3 +282,78 @@ def test_stream_sessionize_property_bounded_lateness(spark, tmp_path):
                                  sorted(expected.items()))
 
     run_case()
+
+
+def test_stream_sessionize_seeded_interleave_20_cases(spark, tmp_path):
+    """Breadth companion to the hypothesis property above: 20 seeded
+    adversarial cases (2-4 users each, edge-loaded gaps, bounded lateness)
+    MERGED into ONE streaming query with per-case user namespacing, so the
+    per-query startup cost is paid once instead of 20 times.
+
+    Merging is sound under the same keep-edge argument as the single-case
+    test, applied globally: arrival order is sort-by(ts + jitter) with
+    jitter ≤ watermark delay, so for any event e every earlier arrival o
+    has ts_o ≤ ts_o + j_o ≤ ts_e + j_e ≤ ts_e + 1800, hence the global
+    watermark max(ts_o) - 1800 never passes ts_e — no event of ANY case
+    is dropped, even though one case's event times advance the shared
+    watermark seen by all the others (the multi-case interleave is exactly
+    what the single-case form never exercised).  A single GLOBAL closer
+    time (past every case's events + delay) flushes all real sessions;
+    the closers themselves stay open and are excluded from expectation."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from readability_spark.streaming import stream_sessionize
+
+    rng = random.Random(20260817)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    gap_pool = [0, 1, 2, 1799, 1800, 1801, 3600]
+    value_pool = [0.0, 1.0, 2.5, 0.335, 9.99]
+
+    rows, eid = [], 0
+    for case in range(20):
+        for u in range(rng.randint(2, 4)):
+            uid = case * 100 + u
+            t = rng.choice([0, 900, 7200])     # cases start at skewed bases
+            for _ in range(rng.randint(1, 6)):
+                t += rng.choice(gap_pool)
+                rows.append((uid, eid, base + timedelta(seconds=t),
+                             rng.choice(value_pool),
+                             t + rng.randint(0, 1800)))
+                eid += 1
+    closer_t = max((r[2] - base).total_seconds() for r in rows) \
+        + 2 * 1800 + 10
+    closer_uids = sorted({r[0] for r in rows})
+    closers = []
+    for uid in closer_uids:
+        closers.append((uid, eid, base + timedelta(seconds=closer_t), 1.0,
+                        closer_t + 10_000))
+        eid += 1
+    arrival = sorted(rows, key=lambda r: (r[4], r[0], r[1])) + closers
+
+    inp = tmp_path / "sess_interleave"
+    inp.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    chunk = 7
+    for i in range(0, len(arrival), chunk):
+        batch = [(r[0], r[1], r[2], r[3]) for r in arrival[i:i + chunk]]
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.parquet(str(inp / f"f{i:04d}"))
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(inp) + "/*"))
+    q = (stream_sessionize(src).writeStream
+         .format("memory").queryName("sess_interleave")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_interleave_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    got = Counter(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["session_value_cents"])
+        for r in spark.sql("select * from sess_interleave").collect())
+    real = [(r[0], r[1], r[2], r[3]) for r in rows]
+    expected = Counter(_batch_sessions(spark, real))
+    assert got == expected, (sorted(got.items())[:5],
+                             sorted(expected.items())[:5])
