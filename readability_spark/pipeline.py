@@ -96,7 +96,8 @@ def salt_and_partition(df: DataFrame, num_buckets: int) -> DataFrame:
 
 def run_extraction(df: DataFrame, num_buckets: int | None = None,
                    char_threshold: int = 500,
-                   whale_safe_bytes: int | None = None) -> DataFrame:
+                   whale_safe_bytes: int | None = None,
+                   dedup_payloads: bool = False) -> DataFrame:
     """transcripts → per-turn extraction results (flat columns).
 
     Physical plan: Scan → Project(conv_id, turn_idx, role, text) →
@@ -127,11 +128,47 @@ def run_extraction(df: DataFrame, num_buckets: int | None = None,
     (The single-scan alternative — persisting the salted exchange — trades
     the rescan for materializing the full corpus in executor storage;
     at 100 TB the rescan is the cheaper side of that trade.)
+
+    ``dedup_payloads``: extraction is a pure function of the text, and
+    real transcript corpora are duplicate-heavy (boilerplate pages,
+    re-fetched URLs, repeated tool outputs), so run the UDF once per
+    DISTINCT payload and join the records back — the standard relational
+    form of content-addressed extraction caching.  Result-identical by
+    purity (NULL and '' text intentionally share a key: parse_guarded
+    maps NULL to '').  Cost model: replaces the salt exchange with a
+    dropDuplicates shuffle keyed on the payload hash plus a join of the
+    corpus against the extracted-distinct table — pays off when the
+    duplicate factor beats the extra shuffle, which at 10^12 turns of
+    crawl-derived transcripts it overwhelmingly does.  The salt's skew
+    job is done by hash-of-payload partitioning here; AQE splits any hot
+    key.  Opt-in because a genuinely all-unique corpus pays ~2× shuffle
+    for nothing.  Mutually exclusive with ``whale_safe_bytes`` (the
+    distinct table already collapses repeated whales; byte-tiering the
+    residue is a composition left explicit rather than implicit).
     """
+    if whale_safe_bytes is not None and dedup_payloads:
+        raise ValueError("whale_safe_bytes and dedup_payloads are "
+                         "mutually exclusive; pick the dominant corpus "
+                         "pathology")
     if num_buckets is None:
         num_buckets = n_buckets_for(df.sparkSession)
     udf = extract_udf if char_threshold == 500 else make_extract_udf(char_threshold)
     cols = [c for c in ("conv_id", "turn_idx", "role") if c in df.columns]
+    if dedup_payloads:
+        keyed = df.select(*cols, "text").withColumn(
+            "_tkey", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        distinct = (keyed.select("_tkey", "text")
+                    .dropDuplicates(["_tkey"])
+                    .repartition(num_buckets, "_tkey"))
+        extracted = distinct.withColumn("x", udf(F.col("text"))) \
+            .select("_tkey", "x")
+        return (
+            keyed.withColumn(
+                "bucket_id",
+                F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                       F.lit(num_buckets)).cast("int"))
+            .join(extracted, "_tkey")
+            .select(*cols, "bucket_id", "x.*"))
     salted = salt_and_partition(df.select(*cols, "text"), num_buckets)
     if whale_safe_bytes is None:
         return salted.withColumn("x", udf(F.col("text"))).select(

@@ -94,3 +94,26 @@ def test_pipeline_whale_safe_end_to_end(spark, corpus, tmp_path):
     r2 = run_pipeline(spark, inp, out, metrics, num_buckets=8,
                       whale_safe_bytes=100_000)
     assert r2["rows_new"] == 0
+
+
+def test_dedup_payloads_equals_default(spark, corpus):
+    """Content-addressed extraction (UDF once per distinct payload, join
+    back) must be row-for-row identical to the direct path — purity makes
+    it so, including the NULL/'' key collision the docstring calls out."""
+    ded = _by_key(run_extraction(corpus, num_buckets=8,
+                                 dedup_payloads=True).collect())
+    base = _by_key(run_extraction(corpus, num_buckets=8).collect())
+    assert set(ded) == set(base)
+    assert sum(1 for k in ded if ded[k] != base[k]) == 0
+    # the plan must evaluate the UDF over the DISTINCT table and join back
+    plan = run_extraction(corpus, num_buckets=8, dedup_payloads=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Join" in plan or "join" in plan
+
+
+def test_dedup_payloads_excludes_whale_mode(spark, corpus):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_extraction(corpus, num_buckets=8, dedup_payloads=True,
+                       whale_safe_bytes=100_000)
