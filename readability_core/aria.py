@@ -120,50 +120,93 @@ def get_aria_node_type(el: VElement) -> str:
     return _ROLE_TO_TYPE.get(role, "generic")
 
 
+_INPUT_ROLES = {"checkbox": "checkbox", "radio": "radio",
+                "button": "button", "search": "searchbox"}
+_H_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
 def build_aria_node(el: VElement) -> AriaNode:
-    """aria.ts:193-296."""
+    """aria.ts:193-296.
+
+    Hot path (one call per element per document): the role / accessible-
+    name / state probes below are the INLINED bodies of get_aria_role,
+    get_accessible_name and get_aria_node_type with direct dict reads
+    (get_attribute's `or None` collapses into the truthiness checks —
+    note the aria-expanded guard keeps the empty-string-means-unset
+    behavior), plus an empty-attrs skip of every attribute-only branch.
+    The public helpers above stay as the spec/reference forms; the
+    equality is covered by the golden lock + ported aria suites."""
+    a = el.attrs
+    tag = el.tag
+    # role (aria.ts:16-72)
+    explicit = a.get("role") if a else None
+    if explicit:
+        role = explicit.lower()
+    elif tag == "a":
+        role = "link" if a.get("href") else "generic"
+    elif tag == "input":
+        role = _INPUT_ROLES.get((a.get("type") or "text").lower(), "textbox")
+    else:
+        role = _IMPLICIT_ROLES.get(tag, "generic")
     node: AriaNode = {
-        "type": get_aria_node_type(el),
-        "role": get_aria_role(el),
+        "type": _ROLE_TO_TYPE.get(role, "generic"),
+        "role": role,
         "el": el,
     }
-    name = get_accessible_name(el)
+    # accessible name (aria.ts:78-129)
+    name = a.get("aria-label") if a else None
+    if not name:
+        if a:
+            if tag == "img":
+                name = a.get("alt")
+            if not name:
+                name = a.get("title")
+        if not name:
+            if tag in _NAME_FROM_CONTENT:
+                text = get_inner_text(el)
+                if text:
+                    name = text[:47] + "..." if len(text) > 50 else text
+            elif tag == "p" or tag == "div":
+                text = get_inner_text(el)
+                if text and len(text) < 100:
+                    name = text
     if name:
         node["name"] = name
 
     t = node["type"]
     if t == "heading":
-        m = re.match(r"h([1-6])", el.tag, re.I)
-        if m:
-            node["level"] = int(m.group(1))
-    if t in ("checkbox", "radio"):
-        node["checked"] = ("checked" in el.attrs
-                           or get_attribute(el, "aria-checked") == "true")
-    if t in ("option", "tab"):
-        node["selected"] = ("selected" in el.attrs
-                            or get_attribute(el, "aria-selected") == "true")
-    if get_attribute(el, "aria-expanded") is not None:
-        node["expanded"] = get_attribute(el, "aria-expanded") == "true"
-    if "disabled" in el.attrs or get_attribute(el, "aria-disabled") == "true":
-        node["disabled"] = True
-    if "required" in el.attrs or get_attribute(el, "aria-required") == "true":
-        node["required"] = True
-
-    valuemin = get_attribute(el, "aria-valuemin") or el.attrs.get("min")
-    if valuemin:
-        node["valuemin"] = _js_parse_float(valuemin)
-    valuemax = get_attribute(el, "aria-valuemax") or el.attrs.get("max")
-    if valuemax:
-        node["valuemax"] = _js_parse_float(valuemax)
-    valuetext = get_attribute(el, "aria-valuetext") or el.attrs.get("value")
-    if valuetext:
-        node["valuetext"] = valuetext
+        lvl = _H_LEVEL.get(tag)
+        if lvl:
+            node["level"] = lvl
+    elif t == "checkbox" or t == "radio":
+        node["checked"] = bool(a) and (
+            "checked" in a or a.get("aria-checked") == "true")
+    elif t == "option" or t == "tab":
+        node["selected"] = bool(a) and (
+            "selected" in a or a.get("aria-selected") == "true")
+    if a:
+        expanded = a.get("aria-expanded")
+        if expanded:  # get_attribute maps "" to None: empty means unset
+            node["expanded"] = expanded == "true"
+        if "disabled" in a or a.get("aria-disabled") == "true":
+            node["disabled"] = True
+        if "required" in a or a.get("aria-required") == "true":
+            node["required"] = True
+        valuemin = a.get("aria-valuemin") or a.get("min")
+        if valuemin:
+            node["valuemin"] = _js_parse_float(valuemin)
+        valuemax = a.get("aria-valuemax") or a.get("max")
+        if valuemax:
+            node["valuemax"] = _js_parse_float(valuemax)
+        valuetext = a.get("aria-valuetext") or a.get("value")
+        if valuetext:
+            node["valuetext"] = valuetext
 
     children: list[AriaNode] = []
     for child in el.children:
         if child.nodeType != "element":
             continue
-        if not is_probably_visible(child):
+        if child.attrs and not is_probably_visible(child):
             continue
         cn = build_aria_node(child)
         if cn.get("name") or cn["type"] != "generic" or cn.get("children"):
