@@ -91,8 +91,12 @@ def _list_element_count(body: VElement, n_article: int, n_li: int) -> int:
 
 def classify_improved(doc: VDocument, candidates: list[VElement],
                       char_threshold: int = DEFAULT_CHAR_THRESHOLD,
-                      url: Optional[str] = None) -> str:
-    """classify.ts:70-249."""
+                      url: Optional[str] = None,
+                      body_nodes: Optional[dict] = None) -> str:
+    """classify.ts:70-249.
+
+    ``body_nodes``: optional pre-collected body tag map (superset fine,
+    same order guarantee as collect_by_tags) shared by extract_from_doc."""
     if url:
         if "/articles/" in url:
             return ARTICLE if candidates else OTHER
@@ -116,8 +120,8 @@ def classify_improved(doc: VDocument, candidates: list[VElement],
     body = doc.body
 
     # one DFS for all seven tag censuses (identical counts per tag)
-    d = collect_by_tags(body, ("h1", "h2", "h3", "img", "a",
-                               "article", "li"))
+    d = body_nodes if body_nodes is not None else collect_by_tags(
+        body, ("h1", "h2", "h3", "img", "a", "article", "li"))
     heading_count = len(d["h1"]) + len(d["h2"]) + len(d["h3"])
     image_count = len(d["img"])
     link_count = len(d["a"])

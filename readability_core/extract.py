@@ -145,10 +145,21 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     run any raw-tree analysis (structure detection) before calling this."""
     preprocess_document(doc)
 
-    # two-walk pre-collection shared by all metadata extractors + links
-    # (behavior-identical — see collect_metadata_nodes; scoring below never
-    # mutates the tree, so the 'a' list stays valid for extract_links)
-    md_nodes = collect_metadata_nodes(doc)
+    # TWO walks shared by every downstream tag census: metadata, the
+    # scoring short-circuit + element selection, and the improved
+    # classifier (behavior-identical — collect_by_tags returns identical
+    # per-tag lists in document order, supersets are fine, and nothing
+    # below mutates the tree after preprocess)
+    from .dom import collect_by_tags
+    de_nodes = collect_by_tags(doc.document_element,
+                               ("title", "meta", "article", "main"))
+    body_nodes = collect_by_tags(
+        doc.body,
+        ("h1", "h2", "h3", "h4", "h5", "h6", "a", "section", "p", "td",
+         "pre", "img", "article", "li"))
+    md_nodes = {"title": de_nodes["title"], "meta": de_nodes["meta"],
+                "h1": body_nodes["h1"], "h2": body_nodes["h2"],
+                "a": body_nodes["a"]}
     title = get_article_title(doc, md_nodes)
     byline = get_article_byline(doc, md_nodes)
     lang = get_article_lang(doc)
@@ -157,7 +168,9 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     # per-document link index: O(links) density checks instead of a
     # subtree walk per candidate (identical results — see build_link_index)
     link_index = build_link_index(doc)
-    candidates = find_main_candidates(doc, nb_top_candidates, link_index)
+    candidates = find_main_candidates(doc, nb_top_candidates, link_index,
+                                      de_nodes=de_nodes,
+                                      body_nodes=body_nodes)
     candidate_scores = [float(c.score or 0.0) for c in candidates]
 
     links = extract_links(doc, md_nodes)
@@ -188,7 +201,7 @@ def extract_from_doc(doc: VDocument, error: Optional[str],
     # improved classifier (classify.ts:70-249) and probabilistic snapshot
     # score (classify.ts:406-513) as additional columns
     page_type_v2 = classify_improved(doc, candidates, char_threshold,
-                                     url=base_uri)
+                                     url=base_uri, body_nodes=body_nodes)
     article_possibility, _ = classify_snapshot_score(root, candidates,
                                                      base_uri)
 

@@ -77,11 +77,19 @@ def initialize_node(el: VElement) -> None:
 def find_main_candidates(
     doc: VDocument, nb_top_candidates: int = DEFAULT_N_TOP_CANDIDATES,
     link_index: Optional[list] = None,
+    de_nodes: Optional[dict] = None,
+    body_nodes: Optional[dict] = None,
 ) -> list[VElement]:
-    """Score-and-rank main-content candidates (extract.ts:324-443)."""
+    """Score-and-rank main-content candidates (extract.ts:324-443).
+
+    ``de_nodes``/``body_nodes``: optional pre-collected tag maps (supersets
+    fine) from collect_by_tags over the documentElement resp. body —
+    identical lists/order by construction; extract_from_doc shares one
+    pair of walks across metadata, scoring, and classification."""
     # 1. semantic short-circuit: a single <article> or <main> wins outright
     # (one DFS for both tags; identical per-tag lists and check order)
-    semantic = collect_by_tags(doc.document_element, ("article", "main"))
+    semantic = de_nodes if de_nodes is not None else collect_by_tags(
+        doc.document_element, ("article", "main"))
     for tag in ("article", "main"):
         els = semantic[tag]
         if len(els) == 1:
@@ -91,7 +99,8 @@ def find_main_candidates(
     body = doc.body
     candidates: list[VElement] = []
     elements_to_score: list[VElement] = []
-    by_tag = collect_by_tags(body, DEFAULT_TAGS_TO_SCORE)
+    by_tag = body_nodes if body_nodes is not None else collect_by_tags(
+        body, DEFAULT_TAGS_TO_SCORE)
     for tag in DEFAULT_TAGS_TO_SCORE:           # tag order defines tie order
         elements_to_score.extend(by_tag[tag])
 
