@@ -413,14 +413,41 @@ _IMPORTANT_TYPES = frozenset(
     ["main", "article", "navigation", "heading", "link", "list"])
 
 
+def _link_counts(root: AriaNode) -> dict:
+    """One post-order pass: id(node) → count_links(node) for the whole
+    subtree, turning assign_weights from O(n·depth) (count_links re-walks
+    every descendant per node — quadratic on path-shaped trees) into
+    O(n).  Values are identical to per-node count_links by construction."""
+    counts: dict[int, int] = {}
+    stack: list = [(root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        kids = node.get("children")
+        if not expanded:
+            stack.append((node, True))
+            if kids:
+                for c in kids:
+                    stack.append((c, False))
+        else:
+            n = 1 if node["type"] == "link" else 0
+            if kids:
+                for c in kids:
+                    n += counts[id(c)]
+            counts[id(node)] = n
+    return counts
+
+
 def calculate_node_weight(node: AriaNode, depth: int = 0,
                           index_in_parent: int = 0,
-                          sibling_count: int = 1) -> float:
+                          sibling_count: int = 1,
+                          _counts: Optional[dict] = None) -> float:
     """links.ts:42-68."""
     depth_weight = 1 / (depth + 1)
     position_weight = ((sibling_count - index_in_parent) / sibling_count
                        if sibling_count > 1 else 1)
-    content_weight = (count_links(node) * 0.5
+    n_links = (_counts[id(node)] if _counts is not None
+               else count_links(node))
+    content_weight = (n_links * 0.5
                       + len(node.get("children") or []) * 0.3)
     type_weight = 1.5 if node["type"] in _IMPORTANT_TYPES else 1
     name_weight = 1.2 if node.get("name") else 0.8
@@ -429,15 +456,18 @@ def calculate_node_weight(node: AriaNode, depth: int = 0,
 
 
 def assign_weights(node: AriaNode, depth: int = 0, index_in_parent: int = 0,
-                   sibling_count: int = 1) -> AriaNode:
+                   sibling_count: int = 1,
+                   _counts: Optional[dict] = None) -> AriaNode:
     """links.ts:73-94."""
+    if _counts is None:
+        _counts = _link_counts(node)
     out = dict(node)
     out["weight"] = calculate_node_weight(
-        node, depth, index_in_parent, sibling_count)
+        node, depth, index_in_parent, sibling_count, _counts)
     kids = node.get("children")
     if kids:
         out["children"] = [
-            assign_weights(c, depth + 1, i, len(kids))
+            assign_weights(c, depth + 1, i, len(kids), _counts)
             for i, c in enumerate(kids)
         ]
     return out
