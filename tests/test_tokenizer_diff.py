@@ -121,6 +121,14 @@ ADVERSARIAL = [
     "<ul><li>1<ul><li>1.1</ul><li>2</ul>",
     "&#8203;&nbsp; ﻿ mixed ws",
     "<div>" * 600 + "deep" + "</div>" * 600,   # MAX_DOM_DEPTH cap parity
+    # pathological fast-path-miss shapes (measured linear, no regex
+    # backtracking blowup; equality is what this suite pins)
+    "<a " + "xyz " * 3000,                     # unterminated attr soup
+    "<a " + 'k="v" ' * 3000,                 # unterminated eq soup
+    "<a " + "a" * 60000,                       # giant name run, no '>'
+    "<a" + " " * 60000,                        # giant space run
+    "<" * 30000,                               # lt soup
+    "<a " + 'k="v" ' * 3000 + ">done</a>",   # giant but terminated
 ]
 
 
