@@ -159,8 +159,6 @@ _RE_MD_ESCAPE = re.compile(r"([*_`\[\]\\])")
 _RE_SPACE_TAB = re.compile(r"[ \t]+")
 # JS /\s/ — same set as String.trim (incl. \ufeff, excl. \x1c-\x1f);
 # Python's \s differs at exactly those boundaries
-_RE_WS_END = re.compile(f"[{re.escape(JS_WS_CHARS)}]$")
-_RE_WS_START = re.compile(f"^[{re.escape(JS_WS_CHARS)}]")
 _PUNCT_NO_SPACE = frozenset(".,!?;:)")
 _RE_LEAD_NL = re.compile(r"^\n+")
 _RE_TRAIL_NL = re.compile(r"\n+$")
@@ -187,22 +185,26 @@ def _escape_markdown(text: str) -> str:
     return _RE_MD_ESCAPE.sub(r"\\\1", text)
 
 
+_JS_WS_SET = frozenset(JS_WS_CHARS)
+
+
 def _join_md_parts(parts: list[str]) -> str:
-    """markdown.ts:27-56 — smart inline spacing."""
+    """markdown.ts:27-56 — smart inline spacing.
+
+    Regex-free: `[JS_WS]$` on the accumulator and `^[JS_WS]` on the part
+    are single-char class probes, exactly first/last-char set membership;
+    the all-whitespace skip only pays the trim when the first char is
+    whitespace (a non-ws first char can never trim to empty)."""
     result = ""
     for part in parts:
-        if not part or js_trim(part) == "":
+        if not part or (part[0] in _JS_WS_SET and js_trim(part) == ""):
             continue
         if result == "":
             result = part
         else:
-            # pos=len-1 pins `\s$` to the last char (a bare search scans
-            # the whole accumulated string — quadratic across joins);
-            # match() is exact for the `^\s` pattern (no MULTILINE)
-            if (not _RE_WS_END.search(result, len(result) - 1)
-                    and not _RE_WS_START.match(part)):
-                if part[0] not in _PUNCT_NO_SPACE:
-                    result += " "
+            if (result[-1] not in _JS_WS_SET and part[0] not in _JS_WS_SET
+                    and part[0] not in _PUNCT_NO_SPACE):
+                result += " "
             result += part
     return result
 
