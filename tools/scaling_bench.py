@@ -234,9 +234,10 @@ Caveat for reading the ratio across rounds: the mp control imports the
 CURRENT extraction core, so a core-level speedup moves numerator and
 denominator together — the ratio tracks the Spark layer's overhead share,
 not core speed.  Core-speed changes are evidenced by same-window A/B runs
-against the prior round's tree (r5 final: aria-off median 1.29× / best
-1.36×, full-parity aria-on median 1.46× / best 1.71×, 4 interleaved
-pairs each, byte-identical outputs).
+against the prior round's tree (r5 final, two 4-pair interleaved
+sessions: aria-off medians 1.29/1.36× with bests 1.36/1.51×; full-parity
+aria-on medians 1.36/1.46× with bests 1.41/1.71× — byte-identical
+outputs throughout).
 
 | run (local time) | pipeline turns/sec | control docs/sec | normalized | median-of-pairs | spread |
 | --- | --- | --- | --- | --- | --- |
