@@ -261,7 +261,15 @@ Design notes for real-cluster scaling: the job's only coordination is the
 one salt shuffle (hash(conv_id, turn_idx) → parallelism×4 buckets), which
 repartitions ~uniformly regardless of conversation skew; extraction is
 per-turn embarrassingly parallel; the metrics groupBy aggregates map-side.
-Nothing in the plan serializes with executor count.  Session tuning that
+Nothing in the plan serializes with executor count.
+
+Wall-time decomposition (r5, interleaved best-of-3 at local[32], 29,797
+turns): scan+salt-shuffle 2.1 s → + Arrow round-trip through a
+pass-through pandas UDF 3.4 s → + full extraction 8.55 s (3,485 turns/s —
+best recorded window).  The extraction stage itself computes at the
+mp-pool ceiling; the whole residual normalized gap is scan/shuffle/Arrow
+infrastructure, which AMORTIZES at scale (fixed per-byte cost) rather
+than growing with document complexity.  Session tuning that
 mattered on the way here (kept in build_session): small Arrow batches
 (64 rows — a 200MB pass-through dropped 36s → 2.3s vs the 10000-row
 default), ParallelGC with a modest heap (G1 on 48g spent 765s in GC inside
