@@ -118,3 +118,24 @@ def test_arbitrary_text_payloads(text):
     r = extract(text)
     assert r["page_type"] in ("article", "other")
     assert isinstance(r["aria_tree"], str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(html_soup())
+def test_span_offsets_slice_to_root_text(html):
+    """When spans are reported, full_doc_text[span_start:span_end] must be
+    exactly the root subtree's raw text — validates the fused single-walk
+    accumulation in extract_from_doc against the independent traversal."""
+    from readability_core.extract import extract_full
+    from readability_core.render import extract_text_content
+
+    rec, doc, root, _cands = extract_full(html)
+    if rec["span_start"] >= 0:
+        full = extract_text_content(doc.document_element)
+        assert (full[rec["span_start"]:rec["span_end"]]
+                == extract_text_content(root))
+    elif root is not None:
+        # no span ⇒ the root text genuinely does not occur in the doc text
+        # (detached root) or is empty
+        rt = extract_text_content(root)
+        assert not rt or rt not in extract_text_content(doc.document_element)
