@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": textstats.fingerprint,
         # multimodal plumbing (mapInPandas; rows-only)
         "media_features": multimodal.media_features,
+        # real container-header parsing (PNG/GIF/WAV byte-offset reads;
+        # synth is JVM-side hex construction, oracle is closed-form)
+        "media_header_meta": multimodal.media_header_meta,
         # PDF leg of the extraction tier (text → PDF → text, exact)
         "pdf_extract": pdfsource.pdf_extract,
     }
@@ -141,4 +144,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
+        "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,
     }
