@@ -24,7 +24,6 @@ from .classify import ARTICLE, OTHER, classify_page_type
 from .classify_improved import classify_improved, classify_snapshot_score
 from .constants import DEFAULT_CHAR_THRESHOLD, DEFAULT_N_TOP_CANDIDATES
 from .metadata import (
-    collect_metadata_nodes,
     extract_links,
     get_article_byline,
     get_article_lang,

@@ -228,8 +228,9 @@ def parse_media_header(b) -> tuple:
     Header-only reads: PNG signature+IHDR (big-endian), GIF87a/89a logical
     screen (little-endian u16), canonical 44-byte RIFF/WAVE with PCM fmt
     and a 'data' chunk at offset 36.  Anything else — short payloads,
-    unknown magic, non-canonical WAV layouts — reports parse_ok=False
-    rather than guessing."""
+    unknown magic, non-canonical WAV layouts, zero-denominator WAV fmt
+    fields — reports the uniform refusal row ('unknown', all-None,
+    parse_ok=False) rather than guessing."""
     if b is None or len(b) < 6:
         return ("unknown", None, None, None, None, None, False)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
@@ -246,7 +247,10 @@ def parse_media_header(b) -> tuple:
         data_len, = struct.unpack("<I", b[40:44])
         denom = rate * channels * (bits // 8)
         if denom <= 0:
-            return ("wav", None, None, rate, channels, None, False)
+            # uniform refusal shape: every parse_ok=False row reports
+            # container='unknown' with all-None fields, so consumers may
+            # filter on container alone without also checking parse_ok
+            return ("unknown", None, None, None, None, None, False)
         return ("wav", None, None, rate, channels,
                 data_len * 1000 // denom, True)
     return ("unknown", None, None, None, None, None, False)

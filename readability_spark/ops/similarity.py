@@ -559,16 +559,63 @@ EMBEDDING_DEDUP_SQL = _embedding_dedup_sql()
 
 IVF_K = 16            # centroid count (gate scale; ~sqrt(n) in production)
 IVF_NPROBE = 4        # centroid lists probed per query
-# Deterministic coarse quantizer: centroids are the corpus vectors with
-# vec_id in [N_QUERIES, N_QUERIES + IVF_K) — a fixed-id sample, so the
-# oracle selects the identical set with a WHERE clause.  Production IVF
-# k-means-trains centroids on a sample; the plan shape (assign → probe →
-# re-rank) is identical, which is what this operator pins.
+# Deterministic coarse quantizer: SEED centroids are the corpus vectors
+# with vec_id in [N_QUERIES, N_QUERIES + IVF_K) — a fixed-id sample the
+# oracle selects with a WHERE clause — sharpened by one deterministic
+# Lloyd iteration (element-wise means over vec_id-ordered folds, mirrored
+# in the oracle; see _refine_centroids).  Production IVF k-means-trains on
+# a sample with more iterations; the plan shape (assign → refine →
+# assign → probe → re-rank) is identical, which is what this operator pins.
 IVF_FIRST = N_QUERIES
 
 
+def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(neighbor_id, centroid_id): nearest centroid per corpus vector,
+    ties to the smaller centroid_id — 16 scored rows per vector collapse
+    map-side via lexicographic max(struct(cos, -centroid_id))."""
+    scored = _with_cosine(corpus.crossJoin(F.broadcast(cents)))
+    return (scored.groupBy("neighbor_id")
+            .agg(F.max(F.struct(
+                F.col("cos"), (-F.col("centroid_id")).alias("neg")))
+                .alias("best"))
+            .select("neighbor_id", (-F.col("best.neg")).alias("centroid_id")))
+
+
+def _refine_centroids(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """One deterministic Lloyd iteration: assign every corpus vector to its
+    nearest seed centroid, then replace each centroid with the element-wise
+    MEAN of its assigned vectors.  Seeds with an empty list drop out (both
+    engines lose the group identically).
+
+    Cross-engine exactness: a float mean is order-dependent, so the sum
+    per (centroid, coordinate) is folded LEFT-TO-RIGHT over values sorted
+    by vec_id — Spark as aggregate(array_sort(collect_list(...)), 0D, +),
+    the oracle as list_reduce(list(... ORDER BY vec_id), +); 0D + x == x
+    exactly, so the missing seed on the DuckDB side is immaterial, and
+    s/n (double / bigint) is a single identical IEEE division.
+
+    Scale note: this trains on the full corpus because the gate corpus is
+    small; production IVF trains the quantizer on a bounded sample (the
+    assign → explode → groupBy(centroid, pos) shape is unchanged, just
+    behind a sample filter), so the collect_list per (centroid, coord)
+    group stays bounded by the sample size."""
+    assigned = _ivf_assign(corpus, cents)
+    vals = (assigned.join(corpus, "neighbor_id")
+            .select("centroid_id", "neighbor_id", F.posexplode("a")))
+    sums = vals.groupBy("centroid_id", "pos").agg(
+        F.expr("aggregate(array_sort(collect_list(struct(neighbor_id, "
+               "cast(col as double) as val))), 0D, (acc, s) -> acc + s.val)")
+        .alias("s"),
+        F.count("*").alias("n"))
+    return (sums.withColumn("m", F.col("s") / F.col("n"))
+            .groupBy("centroid_id")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "x -> x.m)").alias("b")))
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str,
-             nprobe: int = IVF_NPROBE) -> DataFrame:
+             nprobe: int = IVF_NPROBE, lloyd: bool = True) -> DataFrame:
     """IVF ANN top-k — the third scale path besides sign-LSH bucketing and
     band-OR: a coarse quantizer assigns every corpus vector to its nearest
     of IVF_K centroids (one partial-aggregated shuffle of corpus size: the
@@ -582,6 +629,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     corpus, and the result IS the brute-force top-k.  The recall-vs-nprobe
     curve is pinned in tests/test_ann_quality.py; generate a matching
     oracle for a non-default setting with ``_ivf_topk_sql(nprobe=...)``.
+
+    ``lloyd`` (default True) runs one deterministic Lloyd iteration over
+    the fixed-id seed centroids before assignment (see
+    _refine_centroids); ``lloyd=False`` keeps the raw seed quantizer —
+    both settings have exact generated oracles
+    (``_ivf_topk_sql(lloyd=...)``).
 
     Ranking determinism across engines: assignment and probe order are
     (cos DESC, centroid_id ASC); Spark expresses that as
@@ -608,16 +661,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
         F.col("embedding").alias("b"))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("a"))
+    if lloyd:
+        # one Lloyd iteration sharpens the fixed-id seed quantizer: means
+        # of the seed-assigned lists sit near cluster centers instead of
+        # at arbitrary corpus points, lifting recall at fixed nprobe.
+        # localCheckpoint the (16-row) result: it is broadcast twice below
+        # (assignment + probes), and without the checkpoint each broadcast
+        # would re-run the whole training lineage
+        cents = _refine_centroids(corpus, cents).localCheckpoint()
     # assignment: 16 scored rows per vector, collapsed map-side
-    assign_scored = _with_cosine(corpus.crossJoin(F.broadcast(cents)))
-    assigned = (
-        assign_scored
-        .groupBy("neighbor_id")
-        .agg(F.max(F.struct(
-            F.col("cos"), (-F.col("centroid_id")).alias("neg")))
-            .alias("best"))
-        .select("neighbor_id", (-F.col("best.neg")).alias("centroid_id"))
-    )
+    assigned = _ivf_assign(corpus, cents)
     # query probes: nearest IVF_NPROBE centroids per query (tiny)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
@@ -644,15 +697,47 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _ivf_topk_sql(nprobe: int = IVF_NPROBE) -> str:
+def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True) -> str:
     cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
     cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
     cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
-    return f"""
-WITH cents AS (
+    seed = f"""
   SELECT vec_id AS centroid_id, embedding FROM embeddings
-  WHERE vec_id >= {IVF_FIRST} AND vec_id < {IVF_FIRST + IVF_K}
-), assigned AS (
+  WHERE vec_id >= {IVF_FIRST} AND vec_id < {IVF_FIRST + IVF_K}"""
+    if lloyd:
+        cos_ac0 = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+        # one Lloyd iteration, folded in the exact order Spark folds:
+        # per-(centroid, coordinate) left-to-right sum over vec_id-sorted
+        # values (list_reduce has no seed; 0D + x == x exactly), then a
+        # single double/bigint division per coordinate
+        cents = f"""cents0 AS ({seed}
+), assigned0 AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ac0} DESC, c.centroid_id ASC)
+             AS rn
+    FROM embeddings e CROSS JOIN cents0 c
+  ) WHERE rn = 1
+), positions AS (
+  SELECT UNNEST(range(1, {EMB_DIM + 1})) AS pos
+), coord_sums AS (
+  SELECT a.centroid_id, p.pos,
+         list_reduce(list(CAST(e.embedding[p.pos] AS DOUBLE)
+                          ORDER BY e.vec_id), (x, y) -> x + y) AS s,
+         COUNT(*) AS n
+  FROM assigned0 a
+  JOIN embeddings e ON e.vec_id = a.neighbor_id
+  CROSS JOIN positions p
+  GROUP BY a.centroid_id, p.pos
+), cents AS (
+  SELECT centroid_id, list(s / n ORDER BY pos) AS embedding
+  FROM coord_sums GROUP BY centroid_id
+)"""
+    else:
+        cents = f"cents AS ({seed}\n)"
+    return f"""
+WITH {cents}, assigned AS (
   SELECT neighbor_id, centroid_id FROM (
     SELECT e.vec_id AS neighbor_id, c.centroid_id,
            row_number() OVER (PARTITION BY e.vec_id

@@ -94,6 +94,39 @@ def salt_and_partition(df: DataFrame, num_buckets: int) -> DataFrame:
     return df.repartition(num_buckets, "bucket_id")
 
 
+def _tiered_distinct_extract(distinct: DataFrame, udf, whale_safe_bytes: int,
+                             char_threshold: int) -> DataFrame:
+    """Byte-tier the distinct-payload table: light rows keep the 64-row
+    scalar-UDF path; whale rows go through singleton applyInPandas groups
+    keyed on the payload hash (one whale per Arrow transfer unit).  Both
+    tiers read the same distinct lineage — the dropDuplicates/repartition
+    exchange is reused, and the whale groupBy('_tkey') is satisfied by the
+    _tkey hash partitioning the distinct table already carries."""
+    from pyspark.sql import types as T
+
+    from .schema import EXTRACT_SCHEMA
+    from .udfs import _FIELDS, _extract_record, _to_frame
+
+    size = F.coalesce(F.octet_length("text"), F.lit(0))
+    light = distinct.filter(size < whale_safe_bytes) \
+        .withColumn("x", udf(F.col("text"))).select("_tkey", "x.*")
+
+    out_schema = T.StructType(
+        [distinct.schema["_tkey"]] + list(EXTRACT_SCHEMA.fields))
+
+    def _extract_group(pdf):
+        out = _to_frame(
+            [_extract_record(t, char_threshold) for t in pdf["text"]],
+            _FIELDS)
+        out.insert(0, "_tkey", pdf["_tkey"].values)
+        return out
+
+    heavy = (distinct.filter(size >= whale_safe_bytes)
+             .groupBy("_tkey")
+             .applyInPandas(_extract_group, schema=out_schema))
+    return light.unionByName(heavy)
+
+
 def run_extraction(df: DataFrame, num_buckets: int | None = None,
                    char_threshold: int = 500,
                    whale_safe_bytes: int | None = None,
@@ -135,40 +168,54 @@ def run_extraction(df: DataFrame, num_buckets: int | None = None,
     DISTINCT payload and join the records back — the standard relational
     form of content-addressed extraction caching.  Result-identical by
     purity (NULL and '' text intentionally share a key: parse_guarded
-    maps NULL to '').  Cost model: replaces the salt exchange with a
-    dropDuplicates shuffle keyed on the payload hash plus a join of the
-    corpus against the extracted-distinct table — pays off when the
-    duplicate factor beats the extra shuffle, which at 10^12 turns of
-    crawl-derived transcripts it overwhelmingly does.  The salt's skew
-    job is done by hash-of-payload partitioning here; AQE splits any hot
-    key.  Opt-in because a genuinely all-unique corpus pays ~2× shuffle
-    for nothing.  Mutually exclusive with ``whale_safe_bytes`` (the
-    distinct table already collapses repeated whales; byte-tiering the
-    residue is a composition left explicit rather than implicit).
+    maps NULL to '').  The distinct key is sha256 of the payload:
+    extraction caching silently merges any two colliding payloads, and
+    md5 collisions are constructible by an adversarial corpus, so the
+    key must be collision-resistant (the md5-only determinism rule
+    covers gate-facing oracled queries, not internal keys).  Cost
+    model: replaces the salt exchange with a dropDuplicates shuffle
+    keyed on the payload hash plus a join of the corpus against the
+    extracted-distinct table — pays off when the duplicate factor beats
+    the extra shuffle, which at 10^12 turns of crawl-derived transcripts
+    it overwhelmingly does.  The salt's skew job is done by
+    hash-of-payload partitioning here; AQE splits any hot key.  Opt-in
+    because a genuinely all-unique corpus pays ~2× shuffle for nothing.
+
+    COMPOSES with ``whale_safe_bytes`` — the two corpus pathologies
+    (duplicate-heavy AND whale-bearing) co-occur in real crawl data:
+    the distinct table is built first (collapsing repeated whales to
+    one row each), then the distinct RESIDUE is byte-tiered exactly as
+    above, with singleton applyInPandas groups keyed on the payload
+    hash.  Price of the composition: the light and whale tiers are two
+    passes over the distinct table's lineage (the dropDuplicates
+    exchange is reused across them), plus the whale tier's grouping —
+    which re-uses the _tkey hash partitioning the distinct table
+    already has, so whale rows pay no additional exchange.
     """
-    if whale_safe_bytes is not None and dedup_payloads:
-        raise ValueError("whale_safe_bytes and dedup_payloads are "
-                         "mutually exclusive; pick the dominant corpus "
-                         "pathology")
     if num_buckets is None:
         num_buckets = n_buckets_for(df.sparkSession)
     udf = extract_udf if char_threshold == 500 else make_extract_udf(char_threshold)
     cols = [c for c in ("conv_id", "turn_idx", "role") if c in df.columns]
     if dedup_payloads:
         keyed = df.select(*cols, "text").withColumn(
-            "_tkey", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+            "_tkey", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
         distinct = (keyed.select("_tkey", "text")
                     .dropDuplicates(["_tkey"])
                     .repartition(num_buckets, "_tkey"))
-        extracted = distinct.withColumn("x", udf(F.col("text"))) \
-            .select("_tkey", "x")
+        if whale_safe_bytes is None:
+            extracted = distinct.withColumn("x", udf(F.col("text"))) \
+                .select("_tkey", "x.*")
+        else:
+            extracted = _tiered_distinct_extract(
+                distinct, udf, whale_safe_bytes, char_threshold)
         return (
             keyed.withColumn(
                 "bucket_id",
                 F.pmod(F.xxhash64("conv_id", "turn_idx"),
                        F.lit(num_buckets)).cast("int"))
             .join(extracted, "_tkey")
-            .select(*cols, "bucket_id", "x.*"))
+            .select(*cols, "bucket_id",
+                    *[f for f in extracted.columns if f != "_tkey"]))
     salted = salt_and_partition(df.select(*cols, "text"), num_buckets)
     if whale_safe_bytes is None:
         return salted.withColumn("x", udf(F.col("text"))).select(
@@ -307,7 +354,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
                  metrics_path: str, num_buckets: int | None = None,
                  char_threshold: int = 500, fmt: str = "parquet",
                  resume: bool = True,
-                 whale_safe_bytes: int | None = None) -> dict:
+                 whale_safe_bytes: int | None = None,
+                 dedup_payloads: bool = False) -> dict:
     """Full job: read → (resume anti-join) → salt → extract → write + metrics.
 
     ``fmt`` is "parquet" here; on an Iceberg-catalog cluster pass
@@ -379,7 +427,8 @@ def run_pipeline(spark: SparkSession, input_path: str, output_path: str,
     # the copies are guaranteed to carry distinct attempts, so keep-max-
     # attempt per (conv_id, turn_idx) dedups them deterministically
     results = run_extraction(df, num_buckets, char_threshold,
-                             whale_safe_bytes=whale_safe_bytes) \
+                             whale_safe_bytes=whale_safe_bytes,
+                             dedup_payloads=dedup_payloads) \
         .withColumn("attempt", F.lit(attempt))
     results.persist(StorageLevel.MEMORY_AND_DISK)
     try:

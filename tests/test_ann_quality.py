@@ -83,13 +83,15 @@ def test_bandor_recall_meets_target(spark, sf_dir):
 @pytest.mark.parametrize("sf_dir",
                          ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_ivf_recall(spark, sf_dir):
-    """IVF (coarse quantizer + probed re-rank) at nprobe=4 of 16 lists
-    probes ~25% of the corpus and must hold the measured recall@5: 0.56
-    at sf0.001 / 0.48 at sf0.01 (pinned ≥ 0.45).  The recall dial is
-    nprobe — band-OR stays the high-recall (0.8) path; IVF pins the
-    third scale shape (assign → probe → re-rank).  Every query's rank-1
-    is itself: a query's own list is always its nearest centroid's, so
-    self-match survives probing."""
+    """IVF (Lloyd-refined coarse quantizer + probed re-rank) at nprobe=4
+    of 16 lists probes ~25% of the corpus and must hold the measured
+    recall@5: 0.76 at sf0.001 / 0.56 at sf0.01 (pinned ≥ 0.5; the raw
+    seed quantizer measured 0.56 / 0.48 — the r6 Lloyd iteration bought
+    +0.20 / +0.08 at fixed nprobe).  The recall dial is nprobe — band-OR
+    stays the high-recall (0.8) path; IVF pins the third scale shape
+    (assign → refine → assign → probe → re-rank).  Every query's rank-1
+    is itself: assignment and probe #1 are the same argmax over the same
+    refined centroids, so self-match survives probing."""
     from readability_spark.ops.similarity import ivf_topk
 
     exact = {(r["query_id"], r["neighbor_id"])
@@ -97,7 +99,7 @@ def test_ivf_recall(spark, sf_dir):
     got = ivf_topk(spark, sf_dir).collect()
     ivf = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.45, f"IVF recall regressed: {recall:.2f}"
+    assert recall >= 0.5, f"IVF recall regressed: {recall:.2f}"
     rank1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     assert all(q == n for q, n in rank1.items())
 
@@ -219,10 +221,11 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_ivf_nprobe_recall_curve(spark, sf_dir):
     """The nprobe dial must buy recall monotonically: measured curve at
-    sf0.001 is 0.44 / 0.56 / 0.72 / 1.00 for nprobe 2/4/8/16.  Pinned:
-    non-decreasing, >= 0.7 at nprobe=8, and EXACT (1.0) at nprobe=IVF_K —
-    probing every list makes the candidate set the whole corpus, so the
-    re-rank degenerates to brute force by construction."""
+    sf0.001 is 0.52 / 0.76 / 0.76 / 1.00 for nprobe 2/4/8/16 with the
+    Lloyd-refined quantizer (seed-only curve was 0.44/0.56/0.72/1.00).
+    Pinned: non-decreasing, >= 0.7 at nprobe=8, and EXACT (1.0) at
+    nprobe=IVF_K — probing every list makes the candidate set the whole
+    corpus, so the re-rank degenerates to brute force by construction."""
     from readability_spark.ops.similarity import IVF_K, ivf_topk
 
     exact = {(r["query_id"], r["neighbor_id"])

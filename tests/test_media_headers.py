@@ -67,13 +67,17 @@ def test_malformed_payloads_refuse():
     ]
     for b in cases:
         out = parse_media_header(b)
-        assert out[-1] is False, (b, out)
-        assert out[0] in ("unknown", "wav")
+        # uniform refusal shape: container 'unknown', every field None
+        assert out == ("unknown", None, None, None, None, None, False), \
+            (b, out)
 
 
 def test_wav_zero_denominator_refuses():
     b = bytearray(make_wav(0, 1, 16, 100))
-    assert parse_media_header(bytes(b))[-1] is False
+    # zero denominator takes the same uniform refusal shape as every
+    # other malformed payload (no half-parsed 'wav' row)
+    assert parse_media_header(bytes(b)) == (
+        "unknown", None, None, None, None, None, False)
 
 
 def test_synth_bytes_parse_as_real_files(spark):

@@ -112,8 +112,25 @@ def test_dedup_payloads_equals_default(spark, corpus):
     assert "Join" in plan or "join" in plan
 
 
-def test_dedup_payloads_excludes_whale_mode(spark, corpus):
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        run_extraction(corpus, num_buckets=8, dedup_payloads=True,
-                       whale_safe_bytes=100_000)
+def test_dedup_payloads_composes_with_whale_tiering(spark, corpus):
+    """Duplicate-heavy AND whale-bearing corpora co-occur in real crawl
+    data: dedup_payloads=True + whale_safe_bytes=N must (a) match the
+    plain path row-for-row — the corpus repeats the same whale payload
+    ~9×, exercising the collapse-then-tier order — and (b) route the
+    distinct whale residue through singleton applyInPandas groups keyed
+    on the payload hash."""
+    composed = _by_key(run_extraction(corpus, num_buckets=8,
+                                      dedup_payloads=True,
+                                      whale_safe_bytes=100_000).collect())
+    base = _by_key(run_extraction(corpus, num_buckets=8).collect())
+    assert set(composed) == set(base)
+    assert sum(1 for k in composed if composed[k] != base[k]) == 0
+
+    plan = run_extraction(corpus, num_buckets=8, dedup_payloads=True,
+                          whale_safe_bytes=100_000) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # whale tier: singleton groups on the payload hash
+    assert "FlatMapGroupsInPandas [_tkey" in plan
+    # light tier keeps the scalar Arrow path; records join back
+    assert "ArrowEvalPython" in plan
+    assert "Join" in plan or "join" in plan
