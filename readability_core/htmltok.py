@@ -161,7 +161,7 @@ def build_tree(s: str, doc: VDocument) -> None:
                 body_found = True
             current = body
             return
-        el = VElement(tag, amap, parent=current)
+        el = VElement(tag, amap, current)
         current.children.append(el)
         if tag not in VOID_ELEMENTS:
             if len(stack) >= MAX_DOM_DEPTH:
@@ -257,7 +257,8 @@ def build_tree(s: str, doc: VDocument) -> None:
             continue
 
         # s[i] == '<'
-        c = s[i + 1:i + 2]
+        ip1 = i + 1
+        c = s[ip1] if ip1 < n else ''
         if c in _ASCII_LETTERS:
             # ---- start tag ----
             fm = _fast_start.match(s, i)
@@ -265,10 +266,13 @@ def build_tree(s: str, doc: VDocument) -> None:
                 tag = fm.group(1)
                 if not tag.islower():
                     tag = tag.lower()
-                attrstr = fm.group(2)
                 amap = {}
-                if attrstr:
-                    for am in _fast_attr.finditer(attrstr):
+                # attrs matched in place via the group-2 span — no
+                # attribute-string slice per tag (the \s+ prefix of
+                # _fast_attr anchors identically inside the span)
+                a0, a1 = fm.span(2)
+                if a1 > a0:
+                    for am in _fast_attr.finditer(s, a0, a1):
                         name, v1, v2 = am.group(1, 2, 3)
                         if not name.islower():
                             name = name.lower()
@@ -288,7 +292,7 @@ def build_tree(s: str, doc: VDocument) -> None:
                 if tag == "html" or tag == "body":
                     open_tag(tag, amap)  # idempotent closers re-check inside
                 else:
-                    el = VElement(tag, amap, parent=current)
+                    el = VElement(tag, amap, current)
                     current.children.append(el)
                     if tag not in VOID_ELEMENTS:
                         if len(stack) >= MAX_DOM_DEPTH:
@@ -296,7 +300,8 @@ def build_tree(s: str, doc: VDocument) -> None:
                         else:
                             current = el
                             stack.append(el)
-                if not fm.group(3) and (tag == "script" or tag == "style"):
+                if fm.start(3) == fm.end(3) and (tag == "script"
+                                                 or tag == "style"):
                     cdata_elem = tag  # '/>' form never enters CDATA mode
                 i = fm.end()
                 continue
