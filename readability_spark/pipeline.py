@@ -35,6 +35,12 @@ from .udfs import extract_udf, make_extract_udf
 # default 64KB!) this took the flagship job from 432 to ~1250 turns/s at
 # local[32] — the buffer must hold ~one batch so the JVM can stage the
 # next batch while the worker computes the current one.
+# Re-tuned after the r5 core speedup (tools/arrow_batch_ab.py, two
+# interleaved sessions in BENCH/arrow_ab_history.jsonl): 64 still wins —
+# rotated-order medians vs 64 were 0.91 (batch=128) and 0.80 (batch=256),
+# and the quietest round read 10.4s / 11.5s / 13.0s for 64/128/256.  A
+# fixed variant order fakes large gains for whichever slot dodges the
+# host's throttle cycle; rotate the order when re-measuring.
 DEFAULT_ARROW_BATCH = 64
 PYTHON_SOCKET_BUFFER = 2 * 1024 * 1024
 

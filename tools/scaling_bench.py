@@ -301,6 +301,18 @@ repartitions ~uniformly regardless of conversation skew; extraction is
 per-turn embarrassingly parallel; the metrics groupBy aggregates map-side.
 Nothing in the plan serializes with executor count.
 
+**Arrow batch retune (r6, tools/arrow_batch_ab.py — evidence in
+BENCH/arrow_ab_history.jsonl):** DEFAULT_ARROW_BATCH=64 re-validated
+after the r5 core speedup moved the compute/transfer balance.  Batch
+sizes 64/128/256 interleaved in ONE JVM over the bench corpus,
+normalized per-round against the same-round batch-64 run.  A
+fixed-order session (64 always first) read medians of 1.32×/1.80× for
+128/256 — an artifact: rotating the within-round order flipped it to
+0.91×/0.80×, and the quietest round's walls were 10.4 s / 11.5 s /
+13.0 s for 64/128/256.  64 rows stays: it is the largest batch the 2 MB
+python-worker socket buffer can hold whole, which is what preserves the
+feed/compute overlap.
+
 Wall-time decomposition (r5, interleaved best-of-3 at local[32], 29,797
 turns): scan+salt-shuffle 2.1 s → + Arrow round-trip through a
 pass-through pandas UDF 3.4 s → + full extraction 8.55 s (3,485 turns/s —
