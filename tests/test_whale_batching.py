@@ -119,18 +119,26 @@ def test_dedup_payloads_composes_with_whale_tiering(spark, corpus):
     ~9×, exercising the collapse-then-tier order — and (b) route the
     distinct whale residue through singleton applyInPandas groups keyed
     on the payload hash."""
-    composed = _by_key(run_extraction(corpus, num_buckets=8,
-                                      dedup_payloads=True,
-                                      whale_safe_bytes=100_000).collect())
+    out = run_extraction(corpus, num_buckets=8, dedup_payloads=True,
+                         whale_safe_bytes=100_000)
+    composed = _by_key(out.collect())
     base = _by_key(run_extraction(corpus, num_buckets=8).collect())
     assert set(composed) == set(base)
     assert sum(1 for k in composed if composed[k] != base[k]) == 0
 
-    plan = run_extraction(corpus, num_buckets=8, dedup_payloads=True,
-                          whale_safe_bytes=100_000) \
-        ._jdf.queryExecution().executedPlan().toString()
+    # post-execution (AQE-final) plan: the collect above materialized it
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # whale tier: singleton groups on the payload hash
     assert "FlatMapGroupsInPandas [_tkey" in plan
     # light tier keeps the scalar Arrow path; records join back
     assert "ArrowEvalPython" in plan
     assert "Join" in plan or "join" in plan
+    # scale shape: the two tiers SHARE the distinct table's shuffle stages
+    # (AQE stage-level reuse), and the whale groupBy('_tkey') is satisfied
+    # by the _tkey repartition — so the whole composed job materializes at
+    # most 3 distinct shuffles: dedup, repartition, and the record side of
+    # the join.  A 4th distinct stage would mean the whale tier re-paid
+    # the distinct lineage or its own exchange.
+    import re
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert len(stages) <= 3, sorted(stages)
