@@ -40,11 +40,13 @@ SPREAD_TRUST = 3.0
 
 
 def best_contiguous_window(ratios: list[float]) -> dict | None:
-    """Tightest contiguous run of pair ratios (len ≥ 2): minimal max/min
-    spread, ties to the longer then later window.  A stolen minute poisons
-    one or two adjacent pairs; the surviving contiguous stretch is the
-    window the host actually offered, and reporting it alongside the full
-    set lets the artifact be judged standalone."""
+    """Best contiguous run of pair ratios (len ≥ 2): the LONGEST window
+    whose spread is within SPREAD_TRUST (more pairs = stronger evidence),
+    ties broken by tighter spread then later start; if no window meets the
+    trust bar, fall back to the tightest window overall.  A stolen minute
+    poisons one or two adjacent pairs; the surviving contiguous stretch is
+    the window the host actually offered, and reporting it alongside the
+    full set lets the artifact be judged standalone."""
     from statistics import median as _median
 
     best = None
@@ -52,7 +54,11 @@ def best_contiguous_window(ratios: list[float]) -> dict | None:
         for j in range(i + 2, len(ratios) + 1):
             w = ratios[i:j]
             sp = max(w) / min(w)
-            key = (round(sp, 6), -(j - i), -i)
+            # qualifying windows (spread ≤ trust) sort ahead of all
+            # non-qualifying ones; within each class: longest, then
+            # tightest, then latest
+            key = (sp > SPREAD_TRUST, -(j - i) if sp <= SPREAD_TRUST else 0,
+                   round(sp, 6), -i)
             if best is None or key < best[0]:
                 best = (key, i, j)
     if best is None:

@@ -17,14 +17,24 @@ def test_r5_artifact_pairs_adjudicate_to_tight_window():
     assert win["spread"] <= SPREAD_TRUST
 
 
-def test_tightest_window_wins_and_prefers_longer_on_ties():
+def test_longest_qualifying_window_wins():
     # uniform ratios: the whole run is the window
     assert best_contiguous_window([2.0, 2.0, 2.0]) == {
         "start": 0, "len": 3, "median": 2.0, "spread": 1.0}
-    # a mid-run spike splits the run; the tight stretch is found
+    # a mid-run spike splits the run; the LONGEST stretch under the trust
+    # bar wins (not the absolute tightest pair — more pairs, more evidence)
     win = best_contiguous_window([1.0, 1.1, 0.9, 5.0, 1.05])
-    assert (win["start"], win["len"]) == (0, 2)
-    assert win["spread"] <= 1.1 + 1e-9
+    assert (win["start"], win["len"]) == (0, 3)
+    assert win["spread"] <= SPREAD_TRUST
+
+
+def test_r6_live_extension_vector_adjudicates_to_long_window():
+    # the actual r6 extended session: pair 0 poisoned by a control spike,
+    # pairs 1-7 form a trustworthy 7-pair stretch
+    pairs = [0.281, 2.458, 3.11, 2.766, 2.503, 2.578, 1.996, 1.348]
+    win = best_contiguous_window(pairs)
+    assert (win["start"], win["len"]) == (1, 7)
+    assert win["spread"] <= SPREAD_TRUST
 
 
 def test_degenerate_inputs():
