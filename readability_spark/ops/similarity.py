@@ -581,7 +581,8 @@ def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
             .select("neighbor_id", (-F.col("best.neg")).alias("centroid_id")))
 
 
-def _refine_centroids(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+def _refine_centroids(corpus: DataFrame, cents: DataFrame,
+                      train_limit: int | None = None) -> DataFrame:
     """One deterministic Lloyd iteration: assign every corpus vector to its
     nearest seed centroid, then replace each centroid with the element-wise
     MEAN of its assigned vectors.  Seeds with an empty list drop out (both
@@ -594,11 +595,14 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     exactly, so the missing seed on the DuckDB side is immaterial, and
     s/n (double / bigint) is a single identical IEEE division.
 
-    Scale note: this trains on the full corpus because the gate corpus is
-    small; production IVF trains the quantizer on a bounded sample (the
-    assign → explode → groupBy(centroid, pos) shape is unchanged, just
-    behind a sample filter), so the collect_list per (centroid, coord)
-    group stays bounded by the sample size."""
+    Scale note: ``train_limit`` bounds the training set to the
+    deterministic prefix sample vec_id < train_limit — the 100 TB shape:
+    the collect_list per (centroid, coordinate) group is then bounded by
+    the sample size, not the corpus, while assignment/probing/re-rank
+    still cover everything.  None (the gate default) trains on the full
+    corpus, which maximizes recall at small scale."""
+    if train_limit is not None:
+        corpus = corpus.filter(F.col("neighbor_id") < train_limit)
     assigned = _ivf_assign(corpus, cents)
     vals = (assigned.join(corpus, "neighbor_id")
             .select("centroid_id", "neighbor_id", F.posexplode("a")))
@@ -615,7 +619,8 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str,
-             nprobe: int = IVF_NPROBE, lloyd: bool = True) -> DataFrame:
+             nprobe: int = IVF_NPROBE, lloyd: bool = True,
+             train_limit: int | None = None) -> DataFrame:
     """IVF ANN top-k — the third scale path besides sign-LSH bucketing and
     band-OR: a coarse quantizer assigns every corpus vector to its nearest
     of IVF_K centroids (one partial-aggregated shuffle of corpus size: the
@@ -632,9 +637,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
 
     ``lloyd`` (default True) runs one deterministic Lloyd iteration over
     the fixed-id seed centroids before assignment (see
-    _refine_centroids); ``lloyd=False`` keeps the raw seed quantizer —
-    both settings have exact generated oracles
-    (``_ivf_topk_sql(lloyd=...)``).
+    _refine_centroids); ``lloyd=False`` keeps the raw seed quantizer.
+    ``train_limit`` bounds the Lloyd training set to the deterministic
+    prefix sample vec_id < train_limit (the production shape at corpus
+    sizes where full-corpus training is wasteful; assignment, probing,
+    and re-rank still cover the whole corpus).  Every setting has an
+    exact generated oracle (``_ivf_topk_sql(nprobe=..., lloyd=...,
+    train_limit=...)``).
 
     Ranking determinism across engines: assignment and probe order are
     (cos DESC, centroid_id ASC); Spark expresses that as
@@ -668,7 +677,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
         # localCheckpoint the (16-row) result: it is broadcast twice below
         # (assignment + probes), and without the checkpoint each broadcast
         # would re-run the whole training lineage
-        cents = _refine_centroids(corpus, cents).localCheckpoint()
+        cents = _refine_centroids(corpus, cents, train_limit) \
+            .localCheckpoint()
     # assignment: 16 scored rows per vector, collapsed map-side
     assigned = _ivf_assign(corpus, cents)
     # query probes: nearest IVF_NPROBE centroids per query (tiny)
@@ -697,7 +707,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True) -> str:
+def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True,
+                  train_limit: int | None = None) -> str:
     cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
     cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
     cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
@@ -710,6 +721,8 @@ def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True) -> str:
         # per-(centroid, coordinate) left-to-right sum over vec_id-sorted
         # values (list_reduce has no seed; 0D + x == x exactly), then a
         # single double/bigint division per coordinate
+        train = (f"WHERE e.vec_id < {train_limit}"
+                 if train_limit is not None else "")
         cents = f"""cents0 AS ({seed}
 ), assigned0 AS (
   SELECT neighbor_id, centroid_id FROM (
@@ -717,7 +730,7 @@ def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True) -> str:
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_ac0} DESC, c.centroid_id ASC)
              AS rn
-    FROM embeddings e CROSS JOIN cents0 c
+    FROM embeddings e CROSS JOIN cents0 c {train}
   ) WHERE rn = 1
 ), positions AS (
   SELECT UNNEST(range(1, {EMB_DIM + 1})) AS pos

@@ -259,3 +259,35 @@ def test_ivf_nondefault_nprobe_tracks_oracle(spark, sf_dir):
     g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
     e = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (g["neighbor_id"].astype(int) == e["neighbor_id"].astype(int)).all()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ivf_bounded_sample_training_tracks_oracle(spark, sf_dir):
+    """train_limit (the 100 TB shape: Lloyd trains on the deterministic
+    prefix sample, assignment/probing still cover the whole corpus) must
+    stay value-exact vs its generated oracle and keep usable recall —
+    measured 0.68 at cap=128 over the 500-vector corpus (full-train
+    0.76); pinned ≥ 0.5.  Self-match at rank 1 survives by construction
+    (assignment and probe #1 share the same argmax)."""
+    import duckdb
+
+    from readability_spark.ops.similarity import _ivf_topk_sql, ivf_topk
+
+    got = ivf_topk(spark, sf_dir, train_limit=128) \
+        .select("query_id", "rank", "neighbor_id").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    exp = con.execute(_ivf_topk_sql(train_limit=128)).df()
+    assert len(got) == len(exp)
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (g["neighbor_id"].astype(int) == e["neighbor_id"].astype(int)).all()
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    sample = {(int(r.query_id), int(r.neighbor_id)) for r in g.itertuples()}
+    assert len(exact & sample) / len(exact) >= 0.5
+    rank1 = {int(r.query_id): int(r.neighbor_id)
+             for r in g.itertuples() if r.rank == 1}
+    assert all(q == n for q, n in rank1.items())
