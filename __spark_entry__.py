@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": similarity.lsh_multiprobe_topk,
         "ann_bandor_topk": similarity.lsh_bandor_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        # IVF with bounded-sample Lloyd training (the 100 TB config)
+        "ann_ivf_sampled": similarity.ivf_topk_sampled,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiprobe_topk": similarity.MULTIPROBE_TOPK_SQL,
         "ann_bandor_topk": similarity.BANDOR_TOPK_SQL,
         "ann_ivf_topk": similarity.IVF_TOPK_SQL,
+        "ann_ivf_sampled": similarity.IVF_SAMPLED_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,

@@ -786,3 +786,16 @@ ORDER BY query_id, rank
 
 
 IVF_TOPK_SQL = _ivf_topk_sql()
+
+# Gate entry for the bounded-sample training shape (the production
+# config at corpus sizes where full-corpus Lloyd training is wasteful):
+# Lloyd trains on the deterministic prefix sample vec_id < 128;
+# assignment, probing, and re-rank still cover the whole corpus.
+IVF_TRAIN_SAMPLE = 128
+
+
+def ivf_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(spark, sf_dir, train_limit=IVF_TRAIN_SAMPLE)
+
+
+IVF_SAMPLED_SQL = _ivf_topk_sql(train_limit=IVF_TRAIN_SAMPLE)
