@@ -590,10 +590,11 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame,
 
     Cross-engine exactness: a float mean is order-dependent, so the sum
     per (centroid, coordinate) is folded LEFT-TO-RIGHT over values sorted
-    by vec_id — Spark as aggregate(array_sort(collect_list(...)), 0D, +),
-    the oracle as list_reduce(list(... ORDER BY vec_id), +); 0D + x == x
+    by vec_id — Spark folds each coordinate j over the neighbor_id-sorted
+    vector list (aggregate(vs, 0D, acc + cast(s.a[j] as double))), the
+    oracle as list_reduce(list(... ORDER BY vec_id), +); 0D + x == x
     exactly, so the missing seed on the DuckDB side is immaterial, and
-    s/n (double / bigint) is a single identical IEEE division.
+    the sum/n (double / bigint) is a single identical IEEE division.
 
     Scale note: ``train_limit`` bounds the training set to the
     deterministic prefix sample vec_id < train_limit — the 100 TB shape:
@@ -604,18 +605,23 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame,
     if train_limit is not None:
         corpus = corpus.filter(F.col("neighbor_id") < train_limit)
     assigned = _ivf_assign(corpus, cents)
-    vals = (assigned.join(corpus, "neighbor_id")
-            .select("centroid_id", "neighbor_id", F.posexplode("a")))
-    sums = vals.groupBy("centroid_id", "pos").agg(
-        F.expr("aggregate(array_sort(collect_list(struct(neighbor_id, "
-               "cast(col as double) as val))), 0D, (acc, s) -> acc + s.val)")
-        .alias("s"),
-        F.count("*").alias("n"))
-    return (sums.withColumn("m", F.col("s") / F.col("n"))
+    # ONE groupBy (16 groups): collect each centroid's vectors sorted by
+    # neighbor_id, then fold every coordinate with nested higher-order
+    # lambdas — j from the outer transform is captured inside the
+    # aggregate.  Same values in the same order as the equivalent
+    # posexplode → groupBy(centroid, pos) → groupBy(centroid) pipeline
+    # (which this replaced: two shuffles and an n×dim explode for
+    # identical IEEE arithmetic), so the oracle is unchanged.
+    dim = EMB_DIM
+    return (assigned.join(corpus, "neighbor_id")
             .groupBy("centroid_id")
-            .agg(F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), "
-                "x -> x.m)").alias("b")))
+            .agg(F.expr("sort_array(collect_list(struct(neighbor_id, a)))")
+                 .alias("vs"),
+                 F.count("*").alias("n"))
+            .select("centroid_id", F.expr(
+                f"transform(sequence(0, {dim - 1}), j -> "
+                "aggregate(vs, 0D, (acc, s) -> acc + cast(s.a[j] as double))"
+                " / n)").alias("b")))
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str,
