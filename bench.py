@@ -180,15 +180,25 @@ def main() -> None:
         pair_ratios = _ratios()
         # Self-adjudication (r6): BENCH_r05.json shipped with spread=14.4 —
         # flagged untrustworthy by this protocol's own rule while the good
-        # evidence sat in bench_history.  If the spread after the initial K
-        # pairs exceeds the trust bar, EXTEND the session with more
-        # interleaved (extract, control) pairs — bounded — so the official
-        # artifact either tightens or carries enough pairs for the
-        # best-contiguous-window fallback below to adjudicate standalone.
+        # evidence sat in bench_history.  If no trustworthy contiguous
+        # window of at least `reps` pairs exists yet, EXTEND the session
+        # with more interleaved (extract, control) pairs — bounded.  The
+        # stop condition is on the best WINDOW, not the global spread: the
+        # global max/min can only widen as pairs are appended, so one
+        # poisoned pair would otherwise force the full extension budget
+        # even after plenty of consistent evidence has accumulated.
+        def _trusted() -> bool:
+            if len(pair_ratios) >= 2 and \
+                    max(pair_ratios) / min(pair_ratios) <= SPREAD_TRUST:
+                return True
+            win = best_contiguous_window(pair_ratios)
+            return (win is not None and win["spread"] <= SPREAD_TRUST
+                    and win["len"] >= max(2, reps))
+
         max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "5"))
         extended = 0
         while (extended < max_extra and len(pair_ratios) >= 2
-               and max(pair_ratios) / min(pair_ratios) > SPREAD_TRUST):
+               and not _trusted()):
             dt_i, n = run_extract(spark)
             runs.append(dt_i)
             ctl_i, _ = mp_control(CPUS)
@@ -197,10 +207,18 @@ def main() -> None:
             pair_ratios = _ratios()
         if extended:
             extra["bench_extended_pairs"] = extended
-    dt = min(runs)
+    # The headline stays best-of-the-INITIAL-reps so rounds compare the
+    # same protocol (an extended noisy session must not get extra chances
+    # at a golden minute that a quiet session never gets); the best across
+    # ALL runs is reported separately, labeled as such.
+    n_initial = min(len(runs), max(1, reps) if not extract_only else 2)
+    dt = min(runs[:n_initial])
     queries["extract_throughput"] = round(dt, 3)
     extra["turns_per_sec"] = round(n / dt, 1)
     extra["runs_sec"] = [round(x, 3) for x in runs]
+    if len(runs) > n_initial:
+        extra["best_run_sec_all"] = round(min(runs), 3)
+        extra["turns_per_sec_best_all"] = round(n / min(runs), 1)
 
     if not extract_only:
         import __spark_entry__ as entrymod

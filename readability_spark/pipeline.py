@@ -37,7 +37,7 @@ from .udfs import extract_udf, make_extract_udf
 # next batch while the worker computes the current one.
 # Re-tuned after the r5 core speedup (tools/arrow_batch_ab.py, two
 # interleaved sessions in BENCH/arrow_ab_history.jsonl): 64 still wins —
-# rotated-order medians vs 64 were 0.91 (batch=128) and 0.80 (batch=256),
+# rotated-order medians vs 64 were 0.83 (batch=128) and 0.69 (batch=256),
 # and the quietest round read 10.4s / 11.5s / 13.0s for 64/128/256.  A
 # fixed variant order fakes large gains for whichever slot dodges the
 # host's throttle cycle; rotate the order when re-measuring.
@@ -100,6 +100,42 @@ def salt_and_partition(df: DataFrame, num_buckets: int) -> DataFrame:
     return df.repartition(num_buckets, "bucket_id")
 
 
+# octet_length(NULL) is NULL, which would drop null-text rows from BOTH
+# byte tiers — a NULL payload sizes as 0 and stays in the light tier
+def _payload_size():
+    return F.coalesce(F.octet_length("text"), F.lit(0))
+
+
+def _whale_group_extract(df: DataFrame, pass_cols: list[str],
+                         group_keys: list[str], char_threshold: int,
+                         schema_src) -> DataFrame:
+    """Whale-tier extraction: singleton applyInPandas groups, where each
+    GROUP is the Arrow transfer unit — the python worker never stages
+    more than one whale (≤ MAX_HTML_BYTES) at a time.  ``pass_cols``
+    ride through unchanged (their StructFields come from ``schema_src``);
+    ``group_keys`` must make the groups singletons.  Shared by the salted
+    two-tier mode (grouped on (conv_id, turn_idx)) and the
+    content-addressed composition (grouped on the payload hash)."""
+    from pyspark.sql import types as T
+
+    from .schema import EXTRACT_SCHEMA
+    from .udfs import _FIELDS, _extract_record, _to_frame
+
+    out_schema = T.StructType(
+        [schema_src[c] for c in pass_cols] + list(EXTRACT_SCHEMA.fields))
+
+    def _extract_group(pdf):
+        out = _to_frame(
+            [_extract_record(t, char_threshold) for t in pdf["text"]],
+            _FIELDS)
+        for i, c in enumerate(pass_cols):
+            out.insert(i, c, pdf[c].values)
+        return out
+
+    return df.groupBy(*group_keys).applyInPandas(
+        _extract_group, schema=out_schema)
+
+
 def _tiered_distinct_extract(distinct: DataFrame, udf, whale_safe_bytes: int,
                              char_threshold: int) -> DataFrame:
     """Byte-tier the distinct-payload table: light rows keep the 64-row
@@ -108,28 +144,12 @@ def _tiered_distinct_extract(distinct: DataFrame, udf, whale_safe_bytes: int,
     tiers read the same distinct lineage — the dropDuplicates/repartition
     exchange is reused, and the whale groupBy('_tkey') is satisfied by the
     _tkey hash partitioning the distinct table already carries."""
-    from pyspark.sql import types as T
-
-    from .schema import EXTRACT_SCHEMA
-    from .udfs import _FIELDS, _extract_record, _to_frame
-
-    size = F.coalesce(F.octet_length("text"), F.lit(0))
+    size = _payload_size()
     light = distinct.filter(size < whale_safe_bytes) \
         .withColumn("x", udf(F.col("text"))).select("_tkey", "x.*")
-
-    out_schema = T.StructType(
-        [distinct.schema["_tkey"]] + list(EXTRACT_SCHEMA.fields))
-
-    def _extract_group(pdf):
-        out = _to_frame(
-            [_extract_record(t, char_threshold) for t in pdf["text"]],
-            _FIELDS)
-        out.insert(0, "_tkey", pdf["_tkey"].values)
-        return out
-
-    heavy = (distinct.filter(size >= whale_safe_bytes)
-             .groupBy("_tkey")
-             .applyInPandas(_extract_group, schema=out_schema))
+    heavy = _whale_group_extract(
+        distinct.filter(size >= whale_safe_bytes), ["_tkey"], ["_tkey"],
+        char_threshold, distinct.schema)
     return light.unionByName(heavy)
 
 
@@ -227,18 +247,9 @@ def run_extraction(df: DataFrame, num_buckets: int | None = None,
         return salted.withColumn("x", udf(F.col("text"))).select(
             *cols, "bucket_id", "x.*")
 
-    from pyspark.sql import types as T
-
-    from .schema import EXTRACT_SCHEMA
-    from .udfs import _FIELDS, _extract_record, _to_frame
-
-    # coalesce: octet_length(NULL) is NULL, which would drop null-text rows
-    # from BOTH tiers
-    size = F.coalesce(F.octet_length("text"), F.lit(0))
-    light = salted.filter(size < whale_safe_bytes)
-
-    light_out = light.withColumn("x", udf(F.col("text"))).select(
-        *cols, "bucket_id", "x.*")
+    size = _payload_size()
+    light_out = salted.filter(size < whale_safe_bytes) \
+        .withColumn("x", udf(F.col("text"))).select(*cols, "bucket_id", "x.*")
 
     # whale tier: no salt repartition (the groupBy exchange is the only
     # shuffle these rows need); bucket_id is computed as a plain column so
@@ -249,21 +260,9 @@ def run_extraction(df: DataFrame, num_buckets: int | None = None,
                  "bucket_id",
                  F.pmod(F.xxhash64("conv_id", "turn_idx"),
                         F.lit(num_buckets)).cast("int")))
-
-    pass_cols = [*cols, "bucket_id"]
-    out_schema = T.StructType(
-        [salted.schema[c] for c in pass_cols] + list(EXTRACT_SCHEMA.fields))
-
-    def _extract_group(pdf):
-        out = _to_frame(
-            [_extract_record(t, char_threshold) for t in pdf["text"]],
-            _FIELDS)
-        for i, c in enumerate(pass_cols):
-            out.insert(i, c, pdf[c].values)
-        return out
-
-    heavy_out = heavy.groupBy("conv_id", "turn_idx").applyInPandas(
-        _extract_group, schema=out_schema)
+    heavy_out = _whale_group_extract(
+        heavy, [*cols, "bucket_id"], ["conv_id", "turn_idx"],
+        char_threshold, salted.schema)
     return light_out.unionByName(heavy_out)
 
 

@@ -45,6 +45,8 @@ def main() -> None:
             results[b].append(dt)
             print(f"round {r} batch {b}: {dt:.2f}s "
                   f"({n / dt:.0f} turns/s)", flush=True)
+    from statistics import median
+
     # per-round ratios vs the same-round batch-64 run
     rel = {b: [results[64][r] / results[b][r] for r in range(rounds)]
            for b in BATCHES}
@@ -55,7 +57,7 @@ def main() -> None:
         "speedup_vs_64_per_round": {
             str(b): [round(x, 3) for x in rel[b]] for b in BATCHES},
         "median_speedup_vs_64": {
-            str(b): round(sorted(rel[b])[rounds // 2], 3) for b in BATCHES},
+            str(b): round(median(rel[b]), 3) for b in BATCHES},
     }
     hist = os.path.join(REPO, "BENCH", "arrow_ab_history.jsonl")
     with open(hist, "a") as f:

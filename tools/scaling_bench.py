@@ -308,7 +308,7 @@ sizes 64/128/256 interleaved in ONE JVM over the bench corpus,
 normalized per-round against the same-round batch-64 run.  A
 fixed-order session (64 always first) read medians of 1.32×/1.80× for
 128/256 — an artifact: rotating the within-round order flipped it to
-0.91×/0.80×, and the quietest round's walls were 10.4 s / 11.5 s /
+0.83×/0.69×, and the quietest round's walls were 10.4 s / 11.5 s /
 13.0 s for 64/128/256.  64 rows stays: it is the largest batch the 2 MB
 python-worker socket buffer can hold whole, which is what preserves the
 feed/compute overlap.
