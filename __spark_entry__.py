@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import dedup, multimodal, pdfsource
+    from readability_spark.ops import dedup, multimodal, pdfsource, quality
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.fingerprint,
+        # corpus-quality curation (Gopher repetition, boilerplate chunks,
+        # stratified sampling, distinctive terms) — pure codegen
+        "quality_repetition": quality.quality_repetition,
+        "chunk_dedup": quality.chunk_dedup,
+        "sample_stratified": quality.sample_stratified,
+        "top_terms": quality.top_terms,
         # multimodal plumbing (mapInPandas; rows-only)
         "media_features": multimodal.media_features,
         # real container-header parsing (PNG/GIF/WAV byte-offset reads;
@@ -101,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import dedup, multimodal, pdfsource
+    from readability_spark.ops import dedup, multimodal, pdfsource, quality
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -145,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
+        "quality_repetition": quality.QUALITY_REPETITION_SQL,
+        "chunk_dedup": quality.CHUNK_DEDUP_SQL,
+        "sample_stratified": quality.SAMPLE_STRATIFIED_SQL,
+        "top_terms": quality.TOP_TERMS_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,

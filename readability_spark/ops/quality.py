@@ -1,0 +1,292 @@
+"""Corpus-quality operators for training-data curation over ``documents``:
+Gopher-style n-gram repetition signals, chunk-level boilerplate detection,
+deterministic stratified sampling, and per-document distinctive terms.
+
+These extend the reference's per-page analysis (SURVEY.md §2.13 "beyond
+reference" tier) with the corpus-level filters a 100 TB pre-training
+pipeline runs after extraction.  All four are pure column expressions /
+built-in aggregations (whole-stage codegen, zero Python in the hot path)
+and each has an exact DuckDB oracle built from the same constants.
+
+Scale notes (100 TB):
+- repetition + top_terms shuffle only (doc_id, token)-sized rows, never
+  document text; partial aggregation is map-side.
+- chunk_dedup moves md5 hashes, not chunk text, into the cross-document
+  aggregation; the per-chunk build is a doc-local groupBy.
+- stratified sampling is hash-ordered row_number per stratum — the
+  deterministic, resumable shape (at petabyte scale you'd switch the
+  row_number cut to an md5-threshold cut to avoid the per-stratum sort;
+  both are expressible here, the rank form is exact for the gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import SQL_TOKENS, table, tokens_col
+
+# --- Gopher-style repetition signals -----------------------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", arXiv:2112.11446,
+# Table A1) filter documents by the fraction of content inside repeated
+# n-grams.  The documents table is single-line token soup, so the two
+# line-based Gopher signals are re-based on token n-grams:
+#   top2gram_frac — fraction of tokens covered by the most frequent bigram
+#   dup5_frac     — fraction of 5-gram positions whose 5-gram repeats
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram/5-gram repetition ratios (Gopher-style).
+
+    Both n-gram families are built as ONE per-row array of (kind, gram)
+    structs via transform(sequence(...)) — O(tokens) JVM-side work, no
+    window sort, no per-position duplication of the token array — then a
+    single explode → two same-keyed aggregations.  One scan, two shuffles
+    total; the first lead/window draft scanned the source twice and sorted
+    every partition twice.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 5)       # also guards the sequences
+    )
+    grams = F.expr(
+        "concat("
+        " transform(sequence(0, n_tokens - 2), i -> named_struct("
+        "   'kind', '2', 'gram', concat(toks[i], ' ', toks[i + 1]))),"
+        " transform(sequence(0, n_tokens - 5), i -> named_struct("
+        "   'kind', '5', 'gram', concat_ws(' ', toks[i], toks[i + 1],"
+        "     toks[i + 2], toks[i + 3], toks[i + 4]))))")
+    p = docs.select("doc_id", "n_tokens", F.explode(grams).alias("g"))
+    counts = p.groupBy(
+        "doc_id", "n_tokens", F.col("g.kind").alias("kind"),
+        F.col("g.gram").alias("gram")).count()
+    two, five = F.col("kind") == "2", F.col("kind") == "5"
+    return (
+        counts.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.max(F.when(two, F.col("count"))).alias("top2_count"),
+            F.sum(F.when(two, F.col("count"))).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(
+                F.sum(F.when(five & (F.col("count") >= 2), F.col("count"))),
+                F.lit(0)).cast("long").alias("dup5_tokens"),
+            F.sum(F.when(five, F.col("count"))).cast("long")
+            .alias("n_5grams"))
+        .select(
+            "doc_id", "n_tokens", "top2_count", "n_bigrams",
+            "dup5_tokens", "n_5grams",
+            F.round(F.col("top2_count") * 2.0 / F.col("n_tokens"), 6)
+            .alias("top2gram_frac"),
+            F.round(F.col("dup5_tokens") * 1.0 / F.col("n_5grams"), 6)
+            .alias("dup5_frac"))
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) >= 5
+), p AS (
+  SELECT doc_id, n_tokens, toks[i] AS tok, i - 1 AS pos
+  FROM (SELECT doc_id, n_tokens, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM d)
+), g AS (
+  SELECT doc_id, n_tokens, pos, tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+         lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS t3,
+         lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS t4
+  FROM p
+), bi AS (
+  SELECT doc_id, n_tokens,
+         CAST(max(cnt) AS BIGINT) AS top2_count,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+  FROM (SELECT doc_id, n_tokens, concat(tok, ' ', t1) AS bigram,
+               count(*) AS cnt
+        FROM g WHERE t1 IS NOT NULL
+        GROUP BY doc_id, n_tokens, concat(tok, ' ', t1))
+  GROUP BY doc_id, n_tokens
+), g5 AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT)
+           AS dup5_tokens,
+         CAST(sum(cnt) AS BIGINT) AS n_5grams
+  FROM (SELECT doc_id,
+               concat(tok, ' ', t1, ' ', t2, ' ', t3, ' ', t4) AS g5,
+               count(*) AS cnt
+        FROM g WHERE t4 IS NOT NULL
+        GROUP BY doc_id, concat(tok, ' ', t1, ' ', t2, ' ', t3, ' ', t4))
+  GROUP BY doc_id
+)
+SELECT bi.doc_id, n_tokens, top2_count, n_bigrams, dup5_tokens, n_5grams,
+       round(top2_count * 2.0 / n_tokens, 6) AS top2gram_frac,
+       round(dup5_tokens * 1.0 / n_5grams, 6) AS dup5_frac
+FROM bi JOIN g5 ON bi.doc_id = g5.doc_id
+ORDER BY bi.doc_id
+"""
+
+# --- chunk-level boilerplate detection ---------------------------------------
+#
+# Paragraph-level exact dedup (the boilerplate complement to document-level
+# near-dedup): hash fixed-size token chunks, count distinct documents per
+# hash, and report per-document shared-chunk fractions.  CHUNK_TOKENS=4 at
+# the gate so the synthetic corpus exercises both shared and unique paths;
+# ragged tails (< CHUNK_TOKENS) are dropped deterministically in both
+# engines.
+
+CHUNK_TOKENS = 4
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str,
+                chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Fraction of each document's token chunks that appear verbatim in at
+    least one OTHER document (md5 chunk identity, hash-only shuffle)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks"))
+    p = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    c = (
+        p.groupBy("doc_id",
+                  F.floor(F.col("pos") / chunk_tokens).alias("cidx"))
+        .agg(
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok), " ")).alias("h"),
+            F.count("*").alias("sz"))
+        .filter(F.col("sz") == chunk_tokens)
+    )
+    d = c.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        c.join(d, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("ndocs") >= 2, 1)), F.lit(0))
+            .cast("long").alias("shared_chunks"))
+        .select(
+            "doc_id", "n_chunks", "shared_chunks",
+            F.round(F.col("shared_chunks") * 1.0 / F.col("n_chunks"), 6)
+            .alias("boilerplate_frac"))
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), p AS (
+  SELECT doc_id, toks[i] AS tok, i - 1 AS pos
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        FROM t)
+), c AS (
+  SELECT doc_id, pos // {CHUNK_TOKENS} AS cidx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS h, count(*) AS sz
+  FROM p GROUP BY doc_id, pos // {CHUNK_TOKENS}
+  HAVING count(*) = {CHUNK_TOKENS}
+), d AS (
+  SELECT h, count(DISTINCT doc_id) AS ndocs FROM c GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(coalesce(sum(CASE WHEN d.ndocs >= 2 THEN 1 END), 0) AS BIGINT)
+         AS shared_chunks,
+       round(coalesce(sum(CASE WHEN d.ndocs >= 2 THEN 1 END), 0) * 1.0
+             / count(*), 6) AS boilerplate_frac
+FROM c JOIN d ON c.h = d.h
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+# --- deterministic stratified sampling ---------------------------------------
+
+SAMPLE_PER_STRATUM = 25
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str,
+                      k: int = SAMPLE_PER_STRATUM) -> DataFrame:
+    """First ``k`` documents per language in md5(doc_id) order — a
+    deterministic, engine-independent stratified sample (the md5 ordering
+    is the shuffle-free analogue of ORDER BY random() with a fixed seed)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+ORDER BY lang, sample_rank
+"""
+
+# --- per-document distinctive terms ------------------------------------------
+
+TOP_TERMS_K = 3
+
+
+def top_terms(spark: SparkSession, sf_dir: str,
+              k: int = TOP_TERMS_K) -> DataFrame:
+    """Top-k distinctive terms per document by (tf DESC, df ASC, term ASC)
+    — the integer-exact rank form of tf-idf (higher tf, rarer corpus-wide,
+    lexicographic tiebreak).  The document-frequency table is a vocabulary
+    aggregate (tiny relative to the corpus) and is broadcast."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok"))
+    # tf feeds both the vocabulary aggregate and the join; materialize it
+    # once (it's (doc_id, term)-sized, far smaller than the corpus) instead
+    # of re-scanning + re-exploding the text for each branch
+    tf = docs.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")).localCheckpoint()
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term_rank", F.col("tok").alias("term"),
+                "tf", "df")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM p GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+)
+SELECT doc_id, term_rank, term, tf, df
+FROM (
+  SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS term_rank
+  FROM tf JOIN df ON tf.tok = df.tok
+)
+WHERE term_rank <= {TOP_TERMS_K}
+ORDER BY doc_id, term_rank
+"""

@@ -220,3 +220,49 @@ def test_near_dedup_scale_shape(spark):
     # 5 checkpoint reads: sig ×3 (pair generation, na, nb), shingles ×2
     # (a-side, b-side of the intersection join)
     assert nodes(plan, "Scan ExistingRDD") == 5, plan
+
+
+def test_quality_repetition_single_lineage_no_window(spark):
+    """Both n-gram families come from ONE gram-struct array built
+    JVM-side (transform over sequence): one pruned scan, one Generate,
+    no window sort, and exactly 3 exchanges (gram agg, doc agg, output
+    sort) — the lead()/window draft scanned the corpus twice and sorted
+    every partition twice."""
+    from readability_spark.ops.quality import quality_repetition
+
+    plan = plan_of(quality_repetition(spark, SF))
+    assert nodes(plan, "Scan parquet") == 1, plan
+    assert nodes(plan, "Generate") == 1, plan
+    assert nodes(plan, "Window") == 0, plan
+    assert nodes(plan, "Exchange") == 3, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>",
+                     plan), plan
+
+
+def test_top_terms_broadcasts_vocabulary(spark):
+    """The document-frequency side is a vocabulary aggregate — tiny
+    relative to the corpus — and must broadcast; the corpus-sized tf
+    table must never build a hash relation.  tf itself is materialized
+    once (localCheckpoint), so the plan reads no parquet at all."""
+    from readability_spark.ops.quality import top_terms
+
+    plan = plan_of(top_terms(spark, SF))
+    assert nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert nodes(plan, "SortMergeJoin") == 0, plan
+    assert nodes(plan, "Scan parquet") == 0, plan
+    assert "WindowGroupLimit" in plan        # rank<=k pushed into the sort
+
+
+def test_chunk_dedup_hash_only_cross_doc_shuffle(spark):
+    """Chunks leave their document as md5 hashes only: the cross-document
+    ndocs aggregation and the membership join key on `h`, never on chunk
+    text, and the chunk build itself is a doc-local groupBy fed by one
+    pruned scan per branch (AQE reuses the build exchange at runtime)."""
+    from readability_spark.ops.quality import chunk_dedup
+
+    plan = plan_of(chunk_dedup(spark, SF))
+    assert "string_agg" not in plan
+    # every hashpartitioning exchange keys on doc/cidx or the md5 hash —
+    # no exchange moves raw tok/chunk-text columns
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "tok" not in m, m
