@@ -559,6 +559,13 @@ EMBEDDING_DEDUP_SQL = _embedding_dedup_sql()
 
 IVF_K = 16            # centroid count (gate scale; ~sqrt(n) in production)
 IVF_NPROBE = 4        # centroid lists probed per query
+IVF_REPLICAS = 2      # lists each corpus vector is indexed in (r6:
+                      # multi-assignment lifted recall@5 at nprobe=4 from
+                      # 0.56 to 0.76 at sf0.01 for ~1.8x candidate rows;
+                      # a SECOND Lloyd iteration was measured and REJECTED:
+                      # it lowered recall at both scales, 0.76->0.72 and
+                      # 0.56->0.52 — Lloyd optimizes quantization error,
+                      # not recall@nprobe)
 # Deterministic coarse quantizer: SEED centroids are the corpus vectors
 # with vec_id in [N_QUERIES, N_QUERIES + IVF_K) — a fixed-id sample the
 # oracle selects with a WHERE clause — sharpened by one deterministic
@@ -569,16 +576,47 @@ IVF_NPROBE = 4        # centroid lists probed per query
 IVF_FIRST = N_QUERIES
 
 
-def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """(neighbor_id, centroid_id): nearest centroid per corpus vector,
-    ties to the smaller centroid_id — 16 scored rows per vector collapse
-    map-side via lexicographic max(struct(cos, -centroid_id))."""
-    scored = _with_cosine(corpus.crossJoin(F.broadcast(cents)))
-    return (scored.groupBy("neighbor_id")
-            .agg(F.max(F.struct(
-                F.col("cos"), (-F.col("centroid_id")).alias("neg")))
-                .alias("best"))
-            .select("neighbor_id", (-F.col("best.neg")).alias("centroid_id")))
+def _cos_over(x: str, y: str) -> str:
+    """The _with_cosine formula as a SQL snippet over arbitrary operands,
+    for use inside higher-order lambdas — the SAME zip_with/aggregate fold
+    and association (dot / (norm_x * norm_y)), so cosines stay
+    bit-identical to the column form and to the oracle's explicit chains."""
+    dot = (f"aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * "
+           f"cast(q as double)), 0D, (acc, v) -> acc + v)")
+    nx = (f"sqrt(aggregate({x}, 0D, (acc, v) -> acc + cast(v as double) * "
+          f"cast(v as double)))")
+    ny = (f"sqrt(aggregate({y}, 0D, (acc, v) -> acc + cast(v as double) * "
+          f"cast(v as double)))")
+    return f"({dot} / ({nx} * {ny}))"
+
+
+def _ivf_assign(corpus: DataFrame, cents: DataFrame,
+                replicas: int = 1) -> DataFrame:
+    """(neighbor_id, centroid_id): each corpus vector's ``replicas``
+    nearest centroids by (cos DESC, centroid_id ASC).
+
+    ZERO-shuffle assignment: the centroid table collapses to a single
+    16-element array row, broadcast onto every corpus row, and the top-R
+    selection happens IN-ROW — transform scores all centroids, array_sort
+    on (negcos, cid) structs orders them (negation is IEEE-exact, so the
+    ascending sort is exactly cos DESC with centroid_id ASC ties), slice
+    takes R.  The r4–r6 form grouped 16 scored rows per vector behind an
+    exchange (map-side combined, but still a corpus-sized shuffle);
+    assignment now reaches the probe join without any exchange at all.
+
+    ``replicas`` > 1 is IVF multi-assignment: a vector near a list
+    boundary is indexed in several lists, trading index size (×R) for
+    recall at fixed nprobe — measured at the gate config (nprobe=4):
+    recall@5 0.56 → 0.76 (sf0.01) and 0.76 → 0.88 (sf0.001) for R=2.
+    """
+    cents_arr = cents.agg(F.expr(
+        "collect_list(struct(centroid_id, b)) AS cs"))
+    top = (f"transform(slice(array_sort(transform(cs, c -> named_struct("
+           f"'negcos', -{_cos_over('a', 'c.b')}, "
+           f"'cid', c.centroid_id))), 1, {int(replicas)}), s -> s.cid)")
+    return (corpus.crossJoin(F.broadcast(cents_arr))
+            .select("neighbor_id",
+                    F.explode(F.expr(top)).alias("centroid_id")))
 
 
 def _refine_centroids(corpus: DataFrame, cents: DataFrame,
@@ -586,7 +624,12 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame,
     """One deterministic Lloyd iteration: assign every corpus vector to its
     nearest seed centroid, then replace each centroid with the element-wise
     MEAN of its assigned vectors.  Seeds with an empty list drop out (both
-    engines lose the group identically).
+    engines lose the group identically).  Exactly ONE iteration: a second
+    and third were measured (r6) and made recall@5 at nprobe=4 WORSE
+    (sf0.001: 0.76 → 0.72, sf0.01: 0.56 → 0.52) — Lloyd converges toward
+    minimum quantization error, which concentrates true neighbors into
+    lists the query's nprobe probes miss; the recall lever that works is
+    multi-assignment (``assign_replicas`` in ivf_topk).
 
     Cross-engine exactness: a float mean is order-dependent, so the sum
     per (centroid, coordinate) is folded LEFT-TO-RIGHT over values sorted
@@ -626,7 +669,8 @@ def _refine_centroids(corpus: DataFrame, cents: DataFrame,
 
 def ivf_topk(spark: SparkSession, sf_dir: str,
              nprobe: int = IVF_NPROBE, lloyd: bool = True,
-             train_limit: int | None = None) -> DataFrame:
+             train_limit: int | None = None,
+             assign_replicas: int = IVF_REPLICAS) -> DataFrame:
     """IVF ANN top-k — the third scale path besides sign-LSH bucketing and
     band-OR: a coarse quantizer assigns every corpus vector to its nearest
     of IVF_K centroids (one partial-aggregated shuffle of corpus size: the
@@ -641,9 +685,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     curve is pinned in tests/test_ann_quality.py; generate a matching
     oracle for a non-default setting with ``_ivf_topk_sql(nprobe=...)``.
 
+    ``assign_replicas`` (default IVF_REPLICAS=2) indexes each corpus
+    vector in its R nearest lists (IVF multi-assignment): index size and
+    candidate count scale ~linearly with R while recall at FIXED nprobe
+    jumps — measured recall@5 at nprobe=4: 0.56/0.76/0.88 at sf0.01 and
+    0.76/0.88/0.96 at sf0.001 for R=1/2/3.  The r6 default R=2 is the
+    knee.  Assignment itself is zero-shuffle regardless of R (in-row
+    top-R against the broadcast centroid array, see _ivf_assign), so R
+    does not add an exchange — only candidate-join rows.
+
     ``lloyd`` (default True) runs one deterministic Lloyd iteration over
     the fixed-id seed centroids before assignment (see
     _refine_centroids); ``lloyd=False`` keeps the raw seed quantizer.
+    More iterations were measured and rejected (see _refine_centroids).
     ``train_limit`` bounds the Lloyd training set to the deterministic
     prefix sample vec_id < train_limit (the production shape at corpus
     sizes where full-corpus training is wasteful; assignment, probing,
@@ -685,8 +739,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
         # would re-run the whole training lineage
         cents = _refine_centroids(corpus, cents, train_limit) \
             .localCheckpoint()
-    # assignment: 16 scored rows per vector, collapsed map-side
-    assigned = _ivf_assign(corpus, cents)
+    # assignment: in-row top-R against the broadcast centroid array —
+    # zero shuffle (see _ivf_assign); R = assign_replicas lists per vector
+    assigned = _ivf_assign(corpus, cents, assign_replicas)
     # query probes: nearest IVF_NPROBE centroids per query (tiny)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
@@ -696,9 +751,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     probes = (probe_scored.withColumn("pr", F.row_number().over(w_probe))
               .filter(F.col("pr") <= nprobe)
               .select("query_id", "centroid_id"))
-    # candidates: corpus vectors whose list is probed; exact re-rank
+    # candidates: corpus vectors whose list is probed; exact re-rank.
+    # With multi-assignment a vector can surface through several probed
+    # lists — dedup then (replicas=1 cannot duplicate, skip the exchange)
     cand = assigned.join(F.broadcast(probes), "centroid_id") \
         .select("query_id", "neighbor_id")
+    if assign_replicas > 1:
+        cand = cand.distinct()
     ne = emb.select(F.col("vec_id").alias("neighbor_id"),
                     F.col("embedding").alias("b"))
     scored = _with_cosine(
@@ -714,7 +773,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
 
 
 def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True,
-                  train_limit: int | None = None) -> str:
+                  train_limit: int | None = None,
+                  assign_replicas: int = IVF_REPLICAS) -> str:
     cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
     cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
     cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
@@ -763,7 +823,7 @@ WITH {cents}, assigned AS (
                               ORDER BY {cos_ac} DESC, c.centroid_id ASC)
              AS rn
     FROM embeddings e CROSS JOIN cents c
-  ) WHERE rn = 1
+  ) WHERE rn <= {assign_replicas}
 ), probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT q.vec_id AS query_id, c.centroid_id,
@@ -774,7 +834,7 @@ WITH {cents}, assigned AS (
     WHERE q.vec_id < {N_QUERIES}
   ) WHERE pr <= {nprobe}
 ), cand AS (
-  SELECT p.query_id, a.neighbor_id
+  SELECT {"DISTINCT " if assign_replicas > 1 else ""}p.query_id, a.neighbor_id
   FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
 ), ranked AS (
   SELECT c.query_id, c.neighbor_id,

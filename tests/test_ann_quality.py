@@ -83,15 +83,15 @@ def test_bandor_recall_meets_target(spark, sf_dir):
 @pytest.mark.parametrize("sf_dir",
                          ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_ivf_recall(spark, sf_dir):
-    """IVF (Lloyd-refined coarse quantizer + probed re-rank) at nprobe=4
-    of 16 lists probes ~25% of the corpus and must hold the measured
-    recall@5: 0.76 at sf0.001 / 0.56 at sf0.01 (pinned ≥ 0.5; the raw
-    seed quantizer measured 0.56 / 0.48 — the r6 Lloyd iteration bought
-    +0.20 / +0.08 at fixed nprobe).  The recall dial is nprobe — band-OR
-    stays the high-recall (0.8) path; IVF pins the third scale shape
-    (assign → refine → assign → probe → re-rank).  Every query's rank-1
-    is itself: assignment and probe #1 are the same argmax over the same
-    refined centroids, so self-match survives probing."""
+    """IVF (Lloyd-refined quantizer + R=2 multi-assignment + probed
+    re-rank) at the gate config (nprobe=4, assign_replicas=2) must hold
+    the measured recall@5: 0.88 at sf0.001 / 0.76 at sf0.01 (pinned
+    ≥ 0.7).  History of the knobs: raw seed quantizer 0.56/0.48; + one
+    Lloyd iteration 0.76/0.56 (r6); + multi-assignment R=2 0.88/0.76
+    (r6 — a second Lloyd iteration was measured WORSE, 0.72/0.52, see
+    _refine_centroids).  Every query's rank-1 is itself: assignment and
+    probe #1 are the same argmax over the same refined centroids, so
+    self-match survives probing."""
     from readability_spark.ops.similarity import ivf_topk
 
     exact = {(r["query_id"], r["neighbor_id"])
@@ -99,7 +99,7 @@ def test_ivf_recall(spark, sf_dir):
     got = ivf_topk(spark, sf_dir).collect()
     ivf = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.5, f"IVF recall regressed: {recall:.2f}"
+    assert recall >= 0.7, f"IVF recall regressed: {recall:.2f}"
     rank1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     assert all(q == n for q, n in rank1.items())
 
@@ -221,11 +221,13 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_ivf_nprobe_recall_curve(spark, sf_dir):
     """The nprobe dial must buy recall monotonically: measured curve at
-    sf0.001 is 0.52 / 0.76 / 0.76 / 1.00 for nprobe 2/4/8/16 with the
-    Lloyd-refined quantizer (seed-only curve was 0.44/0.56/0.72/1.00).
-    Pinned: non-decreasing, >= 0.7 at nprobe=8, and EXACT (1.0) at
+    sf0.001 is 0.64 / 0.88 / 0.96 / 1.00 for nprobe 2/4/8/16 with the
+    Lloyd-refined quantizer + R=2 multi-assignment (Lloyd-only was
+    0.52/0.76/0.76/1.00; seed-only 0.44/0.56/0.72/1.00).  Pinned:
+    non-decreasing, >= 0.85 at nprobe=8, and EXACT (1.0) at
     nprobe=IVF_K — probing every list makes the candidate set the whole
-    corpus, so the re-rank degenerates to brute force by construction."""
+    corpus (the distinct collapses the replicas), so the re-rank
+    degenerates to brute force by construction."""
     from readability_spark.ops.similarity import IVF_K, ivf_topk
 
     exact = {(r["query_id"], r["neighbor_id"])
@@ -237,7 +239,7 @@ def test_ivf_nprobe_recall_curve(spark, sf_dir):
         recalls[np_] = len(exact & got) / len(exact)
     vals = [recalls[k] for k in (2, 4, 8, IVF_K)]
     assert vals == sorted(vals), f"recall not monotone in nprobe: {recalls}"
-    assert recalls[8] >= 0.7, f"recall@5 at nprobe=8 regressed: {recalls[8]:.2f}"
+    assert recalls[8] >= 0.85, f"recall@5 at nprobe=8 regressed: {recalls[8]:.2f}"
     assert recalls[IVF_K] == 1.0, (
         f"nprobe=IVF_K must equal brute force: {recalls[IVF_K]:.2f}")
 
@@ -266,9 +268,10 @@ def test_ivf_bounded_sample_training_tracks_oracle(spark, sf_dir):
     """train_limit (the 100 TB shape: Lloyd trains on the deterministic
     prefix sample, assignment/probing still cover the whole corpus) must
     stay value-exact vs its generated oracle and keep usable recall —
-    measured 0.68 at cap=128 over the 500-vector corpus (full-train
-    0.76); pinned ≥ 0.5.  Self-match at rank 1 survives by construction
-    (assignment and probe #1 share the same argmax)."""
+    measured 0.76 at cap=128 with R=2 multi-assignment (was 0.68 at
+    R=1; full-train R=2 is 0.88); pinned ≥ 0.6.  Self-match at rank 1
+    survives by construction (assignment and probe #1 share the same
+    argmax)."""
     import duckdb
 
     from readability_spark.ops.similarity import _ivf_topk_sql, ivf_topk
@@ -287,7 +290,42 @@ def test_ivf_bounded_sample_training_tracks_oracle(spark, sf_dir):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk(spark, sf_dir).collect()}
     sample = {(int(r.query_id), int(r.neighbor_id)) for r in g.itertuples()}
-    assert len(exact & sample) / len(exact) >= 0.5
+    assert len(exact & sample) / len(exact) >= 0.6
     rank1 = {int(r.query_id): int(r.neighbor_id)
              for r in g.itertuples() if r.rank == 1}
     assert all(q == n for q, n in rank1.items())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ivf_assign_replicas_dial(spark, sf_dir):
+    """Multi-assignment is the r6 recall lever: R=1 (classic IVF) vs the
+    R=2 default at fixed nprobe=4 — measured 0.76 vs 0.88 at sf0.001
+    (0.56 vs 0.76 at sf0.01).  Pinned: R=2 strictly beats R=1 on this
+    corpus, and a NON-default R must track its generated oracle exactly
+    (the dial flows into both engines from the same parameter)."""
+    import duckdb
+
+    from readability_spark.ops.similarity import _ivf_topk_sql, ivf_topk
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+
+    def recall(replicas):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(spark, sf_dir,
+                                 assign_replicas=replicas).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 > r1, f"R=2 must lift recall: R1={r1:.2f} R2={r2:.2f}"
+
+    got = ivf_topk(spark, sf_dir, assign_replicas=3) \
+        .select("query_id", "rank", "neighbor_id").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    exp = con.execute(_ivf_topk_sql(assign_replicas=3)).df()
+    assert len(got) == len(exp)
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (g["neighbor_id"].astype(int) == e["neighbor_id"].astype(int)).all()

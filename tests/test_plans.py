@@ -183,20 +183,33 @@ def test_hypertable_rollup_single_shuffle_all_levels(spark):
     assert "partial_count" in plan and "partial_sum" in plan, plan
 
 
-def test_ivf_assignment_combines_map_side(spark):
-    """IVF's centroid assignment scores 16 candidate rows per corpus
-    vector; the argmax MUST collapse map-side (partial max(struct) before
-    the exchange) so the one shuffle carries corpus-size rows, not 16× —
-    and nothing in the operator degrades to a cartesian product beyond
-    the deliberate broadcast of the 16-centroid table."""
+def test_ivf_assignment_is_zero_shuffle(spark):
+    """r6: assignment is an IN-ROW top-R against the broadcast centroid
+    array (transform → array_sort → slice → explode), so the corpus path
+    from scan to the candidate join carries NO exchange at any replica
+    count — the r4-r5 argmax groupBy exchanged corpus-sized rows even
+    with map-side combine.  The only exchanges left in the whole job are
+    candidate-or-smaller: the 16-row centroid collect, the probe window,
+    the multi-assignment distinct, the re-rank window, the output sort.
+    Nothing degrades to a cartesian product; the two nested-loop joins
+    are the deliberate broadcast centroid attaches (corpus × 1-row
+    array, queries × 16 centroids)."""
     from readability_spark.ops.similarity import ivf_topk
 
     plan = plan_of(ivf_topk(spark, SF))
-    assert "partial_max" in plan, plan
+    assert "partial_max" not in plan, "argmax groupBy crept back"
+    assert nodes(plan, "Generate") == 1, plan         # the top-R explode
     assert nodes(plan, "CartesianProduct") == 0, plan
-    # the only nested-loop joins are the broadcast centroid cross-scores
-    # (corpus×16 and queries×16)
     assert nodes(plan, "BroadcastNestedLoopJoin") == 2, plan
+    # the old assignment exchange's signature was hashpartitioning on
+    # neighbor_id alone with a scored (cos) input — scored assignment
+    # rows must never shuffle now (re-rank exchanges key on query_id;
+    # an embedding-side join shuffle carries no cos column)
+    for inp, args in re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: ([^\n]*)", plan):
+        if "hashpartitioning(neighbor_id" in args:
+            assert "cos" not in inp, (inp, args)
 
 
 def test_near_dedup_scale_shape(spark):
