@@ -16,6 +16,10 @@ same extraction as a streaming stage:
 - ``stream_sessionize``: custom stateful operator (applyInPandasWithState,
   per-user GroupState + event-time timeout) — the streaming twin of the
   batch ``ops.relational.sessionize``.
+- ``stream_dedup``: watermark-bounded exact dedup
+  (dropDuplicatesWithinWatermark on the batch md5 identity) — the ingest
+  twin of ``ops.dedup.exact_dedup``; state bounded by distinct payloads
+  per horizon, cross-horizon identity stays a batch concern.
 
 Both are thin: the engine's operators are stateless column transforms, so
 batch and streaming share all of the actual logic.
@@ -217,4 +221,33 @@ def run_stream(spark: SparkSession, input_path: str, output_path: str,
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_dedup(transcripts: DataFrame,
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup — the ingest twin of ``ops.dedup.exact_dedup``:
+    the FIRST arrival of each distinct payload passes, later copies inside
+    the watermark horizon are dropped, and the engine keeps exactly one
+    (md5, event-time) state entry per distinct payload, EVICTED once the
+    watermark passes its horizon.
+
+    Contract (and why it scales): state is bounded by the number of
+    distinct payloads per horizon window, not by the stream — at
+    10^12-turn ingest the horizon cap is what keeps the state store
+    finite.  The flip side is that a duplicate arriving AFTER its
+    original's state was evicted is re-admitted; cross-horizon dedup is
+    the batch pass's job (run exact_dedup over the landed table).  Both
+    edges are pinned in tests/test_streaming.py.
+
+    Key = md5(coalesce(text, '')) — the batch operator's md5(text)
+    identity with NULL normalized like the multimodal path (the shipped
+    corpus has no NULL text, so batch and stream agree on it).
+    """
+    keyed = transcripts.withColumn(
+        "payload_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    return (
+        keyed.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["payload_md5"])
     )

@@ -357,3 +357,91 @@ def test_stream_sessionize_seeded_interleave_20_cases(spark, tmp_path):
     expected = Counter(_batch_sessions(spark, real))
     assert got == expected, (sorted(got.items())[:5],
                              sorted(expected.items())[:5])
+
+
+def _dedup_rows(spark, files, tmp_path, name, watermark="30 minutes"):
+    """Write each item of ``files`` as one parquet file, stream them one
+    file per microbatch through stream_dedup, return surviving rows."""
+    from readability_spark.streaming import stream_dedup
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    inp = str(tmp_path / f"{name}_in")
+    os.makedirs(inp)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{inp}/f{i}.parquet")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(f"{inp}/*/"))
+    q = (stream_dedup(src, watermark=watermark).writeStream
+         .format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def _turn(conv, idx, text, ts):
+    from datetime import datetime, timezone
+    return (conv, idx, "assistant", text, None,
+            datetime.fromtimestamp(ts, tz=timezone.utc))
+
+
+def test_stream_dedup_matches_batch_identity(spark, tmp_path):
+    """Within one horizon the streaming dedup must agree with the batch
+    md5 identity: one survivor per distinct payload, first arrival kept,
+    later copies dropped — including duplicates arriving in a LATER
+    microbatch (cross-microbatch state is the whole point)."""
+    t0 = 1_700_000_000
+    f1 = [_turn("c1", 0, "alpha", t0),
+          _turn("c1", 1, "beta", t0 + 60),
+          _turn("c2", 0, "alpha", t0 + 120)]        # same-batch dup
+    f2 = [_turn("c3", 0, "beta", t0 + 300),         # cross-batch dup
+          _turn("c3", 1, "gamma", t0 + 360)]
+    got = _dedup_rows(spark, [f1, f2], tmp_path, "dedup_basic")
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha", "beta", "gamma"]      # batch-identical key set
+    by_text = {r["text"]: r for r in got}
+    assert by_text["alpha"]["conv_id"] == "c1"      # first arrival survives
+    assert by_text["beta"]["conv_id"] == "c1"
+    # every survivor carries the batch operator's key
+    import hashlib
+    for r in got:
+        assert r["payload_md5"] == hashlib.md5(
+            r["text"].encode()).hexdigest()
+
+
+def test_stream_dedup_horizon_eviction_readmits(spark, tmp_path):
+    """The bounded-state contract, both edges:
+    (a) a duplicate inside the horizon is dropped even though watermarks
+        advanced between its microbatch and the original's;
+    (b) once the watermark passes original_ts + delay the key's state is
+        EVICTED, so a far-later duplicate is re-admitted — that is the
+        price of finite state at ingest scale, and the batch pass
+        (exact_dedup over the landed table) owns cross-horizon identity.
+
+    Eviction timing nuance (observed, and allowed by the operator's
+    "may deduplicate longer than the threshold" contract): the watermark
+    used by microbatch N derives from batch N-1's max event time, and
+    expired state is cleaned at batch END — after that batch's dedup
+    check — so a key's first re-admittable arrival is two
+    watermark-advancing batches after its horizon closes; the test
+    feeds two movers before the re-arrival to pin the guaranteed edge,
+    not the implementation slack."""
+    t0 = 1_700_000_000
+    hour = 3600
+    f1 = [_turn("c1", 0, "alpha", t0)]
+    f2 = [_turn("c2", 0, "alpha", t0 + 10 * 60),    # +10min: in horizon
+          _turn("c2", 1, "filler", t0 + 10 * 60)]
+    f3 = [_turn("c3", 0, "mover", t0 + 3 * hour)]   # advances watermark
+    f4 = [_turn("c3", 1, "mover2", t0 + 4 * hour)]  # wm now >> t0+30min
+    f5 = [_turn("c4", 0, "alpha", t0 + 5 * hour)]   # original evicted
+    got = _dedup_rows(spark, [f1, f2, f3, f4, f5], tmp_path,
+                      "dedup_horizon")
+    alphas = sorted((r["conv_id"], r["text"])
+                    for r in got if r["text"] == "alpha")
+    assert alphas == [("c1", "alpha"), ("c4", "alpha")], alphas
+    assert len(got) == 5                            # + filler + 2 movers
