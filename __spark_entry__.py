@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import dedup, multimodal, pdfsource, quality
+    from readability_spark.ops import curation, dedup, multimodal
+    from readability_spark.ops import pdfsource, quality
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -101,13 +102,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real container-header parsing (PNG/GIF/WAV byte-offset reads;
         # synth is JVM-side hex construction, oracle is closed-form)
         "media_header_meta": multimodal.media_header_meta,
+        # corpus scrubbing: PII redaction + benchmark decontamination
+        "pii_redact": curation.pii_redact,
+        "decontaminate": curation.decontaminate,
         # PDF leg of the extraction tier (text → PDF → text, exact)
         "pdf_extract": pdfsource.pdf_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import dedup, multimodal, pdfsource, quality
+    from readability_spark.ops import curation, dedup, multimodal
+    from readability_spark.ops import pdfsource, quality
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -155,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": quality.CHUNK_DEDUP_SQL,
         "sample_stratified": quality.SAMPLE_STRATIFIED_SQL,
         "top_terms": quality.TOP_TERMS_SQL,
+        "pii_redact": curation.PII_REDACT_SQL,
+        "decontaminate": curation.DECONTAMINATE_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,

@@ -1,0 +1,226 @@
+"""Corpus-curation operators a pre-training pipeline runs before tokenizing:
+PII detection/redaction and benchmark decontamination.
+
+Beyond-reference tier (SURVEY.md §2.13): the reference (mizchi/readability)
+stops at per-page extraction; these are the corpus-level scrubbing passes
+that follow it in a 100 TB pipeline.  Both are pure column expressions /
+built-in aggregations with exact DuckDB oracles built from the same
+constants.
+
+Cross-engine regex discipline: every pattern is written WITHOUT backslash
+escapes (``[0-9]`` not ``\\d``, ``[.]`` not ``\\.``) so the identical string
+is a valid, identical-semantics pattern under both Java regex (Spark) and
+RE2 (DuckDB) and never passes through either dialect's string-literal
+unescaping.  No lookaround, no backreferences, no ``\\b`` — constructs the
+two engines could disagree on.
+
+Scale notes (100 TB):
+- pii_redact is a single pruned scan with per-row regex work inside
+  whole-stage codegen — zero shuffles beyond the gate-determinism ORDER BY
+  (drop it in production and the stage is shuffle-free).
+- decontaminate broadcasts the distinct benchmark n-gram set (benchmark
+  suites are MBs, corpora are TBs); the candidate side never shuffles gram
+  text — the only exchange carries partially-aggregated (doc_id, counts)
+  rows.  At real scale you would swap the broadcast hash join for a bloom
+  filter built over the benchmark grams (same plan shape, smaller
+  broadcast); the exact join IS the gate semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import SQL_TOKENS, table, tokens_col
+
+# --- PII detection / redaction -----------------------------------------------
+#
+# The synthetic documents corpus is PII-free token soup, so the query plants
+# deterministic PII derived from doc_id (emails on doc_id%2==0, IPv4 on
+# %3==0, US-style phones on %5==0 — overlapping moduli exercise multi-hit
+# and zero-hit rows) and then scans/redacts the augmented text.  Both
+# engines build the same augmented column from the same table, so the
+# oracle is exact while the regex machinery sees real positives.
+
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+# identical text in both dialects (no backslashes, ANSI concat/case/lpad)
+_PII_AUG = (
+    "concat(text,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' reach user',"
+    "   CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' from 10.',"
+    "   CAST(doc_id % 256 AS STRING), '.',"
+    "   CAST((doc_id * 7) % 256 AS STRING), '.',"
+    "   CAST((doc_id * 13) % 256 AS STRING)) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' call 415-555-',"
+    "   lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + md5 of the redacted text.
+
+    Counts are per-pattern over the RAW (augmented) text — independent
+    scans, so a substring matched by two patterns counts in both.
+    Redaction is sequential (email → ip → phone) with non-overlapping
+    leftmost-match replacement, identical in Java regex and RE2.
+    """
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_PII_AUG).alias("aug"))
+        .select(
+            "doc_id",
+            F.expr(f"size(regexp_extract_all(aug, '{PII_EMAIL}', 0))")
+            .cast("long").alias("n_emails"),
+            F.expr(f"size(regexp_extract_all(aug, '{PII_IPV4}', 0))")
+            .cast("long").alias("n_ips"),
+            F.expr(f"size(regexp_extract_all(aug, '{PII_PHONE}', 0))")
+            .cast("long").alias("n_phones"),
+            F.expr(
+                f"md5(regexp_replace(regexp_replace(regexp_replace(aug,"
+                f" '{PII_EMAIL}', '<EMAIL>'),"
+                f" '{PII_IPV4}', '<IP>'),"
+                f" '{PII_PHONE}', '<PHONE>'))").alias("redacted_md5"))
+        .withColumn(
+            "pii_total",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "pii_total",
+                "redacted_md5")
+        .orderBy("doc_id")
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH a AS (
+  SELECT doc_id, {_PII_AUG} AS aug FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL}'))
+            + len(regexp_extract_all(aug, '{PII_IPV4}'))
+            + len(regexp_extract_all(aug, '{PII_PHONE}')) AS BIGINT)
+         AS pii_total,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM a
+ORDER BY doc_id
+"""
+
+# --- benchmark decontamination -----------------------------------------------
+#
+# Training-set decontamination à la GPT-3 appendix C / Lee et al. 2021:
+# drop (or flag) training documents sharing verbatim n-grams with an
+# evaluation benchmark.  The benchmark here is a deterministic md5-selected
+# ~1/4 of the documents table (first hex digit of md5('bench|'||doc_id) in
+# 0-3) standing in for an external suite; candidates are the rest.  n=3 at
+# the gate: the corpus draws from a small Zipf vocabulary, so 3-grams give
+# a graded contamination signal (5-grams would be all-zero, 2-grams
+# saturated).
+
+DECON_N = 3
+_BENCH_PRED = ("substr(md5(concat('bench|', CAST(doc_id AS STRING))), 1, 1)"
+               " IN ('0', '1', '2', '3')")
+DECON_FLAG_FRAC = 0.2
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  n: int = DECON_N) -> DataFrame:
+    """Per-candidate-document benchmark n-gram overlap + flag.
+
+    ``n_contaminated`` counts gram POSITIONS (not distinct grams) whose
+    gram appears anywhere in the benchmark set — the fraction of the
+    document covered by benchmark text, which is the filter criterion.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= n)
+        .withColumn("is_bench", F.expr(_BENCH_PRED))
+        # get() (NULL past the end) not toks[..]: Catalyst infers a
+        # size(grams) > 0 predicate from the downstream explode and may
+        # evaluate the inlined transform on rows the n_tokens filter
+        # drops — ANSI indexing would throw there.  Surviving rows never
+        # index out of bounds, so values are unchanged.
+        .withColumn("grams", F.expr(
+            f"transform(sequence(0, n_tokens - {n}), i -> "
+            f"concat_ws(' ', " +
+            ", ".join(f"get(toks, i + {j})" for j in range(n)) + "))"))
+    )
+    bench = (docs.filter("is_bench")
+             .select(F.explode("grams").alias("gram")).distinct()
+             .withColumn("hit", F.lit(1)))
+    cand = (docs.filter("NOT is_bench")
+            .select("doc_id", F.explode("grams").alias("gram")))
+    return (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+            .alias("n_contaminated"))
+        .select(
+            "doc_id", "n_grams", "n_contaminated",
+            F.round(F.col("n_contaminated") * 1.0 / F.col("n_grams"), 6)
+            .alias("contam_frac"))
+        .withColumn(
+            "flagged",
+            (F.col("contam_frac") >= DECON_FLAG_FRAC).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _decon_sql(n: int = DECON_N) -> str:
+    gram = "concat(" + ", ' ', ".join(
+        "tok" if j == 0 else f"t{j}" for j in range(n)) + ")"
+    leads = ",\n         ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{j}"
+        for j in range(1, n))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         {_BENCH_PRED} AS is_bench
+  FROM t WHERE len(toks) >= {n}
+), p AS (
+  SELECT doc_id, is_bench, toks[i] AS tok, i - 1 AS pos
+  FROM (SELECT doc_id, is_bench, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM d)
+), g AS (
+  SELECT doc_id, is_bench, pos, tok,
+         {leads}
+  FROM p
+), grams AS (
+  SELECT doc_id, is_bench, {gram} AS gram
+  FROM g WHERE t{n - 1} IS NOT NULL
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE is_bench
+), agg AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN b.gram IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_contaminated
+  FROM grams c LEFT JOIN bench b ON c.gram = b.gram
+  WHERE NOT c.is_bench
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       round(n_contaminated * 1.0 / n_grams, 6) AS contam_frac,
+       CAST(CASE WHEN round(n_contaminated * 1.0 / n_grams, 6)
+                      >= {DECON_FLAG_FRAC} THEN 1 ELSE 0 END AS INT)
+         AS flagged
+FROM agg
+ORDER BY doc_id
+"""
+
+
+DECONTAMINATE_SQL = _decon_sql()

@@ -1,0 +1,192 @@
+"""Semantic pins for the corpus-curation operators (ops/curation.py):
+three-way parity (Spark ≡ DuckDB oracle ≡ pure-Python `re`/set reference)
+on a crafted corpus with natural in-text PII, multi-hit and zero-hit
+augmentation rows, fully/partially/un-contaminated candidates, and a
+sub-n-token drop — plus hand-computed pins for each edge.
+
+The Python `re` module is a valid third engine for these patterns by the
+module's own discipline: no backslash classes, no lookaround, greedy
+leftmost matching — semantics on which Python re, Java regex, and RE2
+agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+
+from readability_spark.ops.curation import (
+    DECON_FLAG_FRAC,
+    DECON_N,
+    DECONTAMINATE_SQL,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    PII_REDACT_SQL,
+    decontaminate,
+    pii_redact,
+)
+
+# doc_ids 4 and 5 fall in the md5('bench|id') benchmark quarter; 0-3, 6, 7
+# are candidates (6 is dropped: < DECON_N tokens).  Lowercase single-space
+# text so the pure-Python split()/lower() reference matches tokens_col.
+DOCS = [
+    (0, "alpha beta gamma zeta eta", "en"),          # 1/3 grams contaminated
+    (1, "one two three four ann@site.org here", "en"),   # natural email
+    (2, "x red green blue y", "en"),                 # mid-doc bench gram
+    (3, "alpha beta gamma delta epsilon", "fr"),     # verbatim bench copy
+    (4, "alpha beta gamma delta epsilon", "en"),     # BENCH
+    (5, "red green blue", "es"),                     # BENCH
+    (6, "tiny doc", "en"),                           # < 3 tokens → dropped
+    (7, "beta gamma delta 10.0.0.1 ok", "en"),       # natural IP literal
+]
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        DOCS, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')")
+    return d, con
+
+
+# --- PII ---------------------------------------------------------------------
+
+def _pii_ref(doc_id, text):
+    aug = text
+    if doc_id % 2 == 0:
+        aug += f" reach user{doc_id}@example.com"
+    if doc_id % 3 == 0:
+        aug += f" from 10.{doc_id % 256}.{doc_id * 7 % 256}.{doc_id * 13 % 256}"
+    if doc_id % 5 == 0:
+        aug += f" call 415-555-{doc_id % 10000:04d}"
+    ne = len(re.findall(PII_EMAIL, aug))
+    ni = len(re.findall(PII_IPV4, aug))
+    np_ = len(re.findall(PII_PHONE, aug))
+    red = re.sub(PII_PHONE, "<PHONE>",
+                 re.sub(PII_IPV4, "<IP>",
+                        re.sub(PII_EMAIL, "<EMAIL>", aug)))
+    return {
+        "n_emails": ne, "n_ips": ni, "n_phones": np_,
+        "pii_total": ne + ni + np_,
+        "redacted_md5": hashlib.md5(red.encode()).hexdigest(),
+    }
+
+
+def test_pii_redact_three_way(spark, corpus):
+    d, con = corpus
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(spark, d).collect()}
+    want = {i: _pii_ref(i, t) for i, t, _ in DOCS}
+    assert set(got) == set(want)
+    for doc_id, exp in want.items():
+        for k, v in exp.items():
+            assert got[doc_id][k] == v, (doc_id, k)
+    oracle = con.execute(PII_REDACT_SQL).df()
+    assert len(oracle) == len(want)
+    for _, row in oracle.iterrows():
+        exp = want[row["doc_id"]]
+        for k in exp:
+            assert row[k] == exp[k], (row["doc_id"], k)
+
+
+def test_pii_redact_hand_values(spark, corpus):
+    d, _ = corpus
+    got = {r["doc_id"]: r for r in pii_redact(spark, d).collect()}
+    # doc 0: all three moduli fire → one of each
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == \
+        (1, 1, 1)
+    # doc 1: no modulus fires, but the text carries a natural email
+    assert (got[1]["n_emails"], got[1]["pii_total"]) == (1, 1)
+    # doc 7: no modulus fires; natural IPv4 literal in the text
+    assert (got[7]["n_ips"], got[7]["n_emails"], got[7]["n_phones"]) == \
+        (1, 0, 0)
+    # doc 3: ip-only (%3) — and the redaction actually moved the hash
+    assert (got[3]["n_ips"], got[3]["pii_total"]) == (1, 1)
+    aug3 = "alpha beta gamma delta epsilon from 10.3.21.39"
+    assert got[3]["redacted_md5"] == hashlib.md5(
+        aug3.replace("10.3.21.39", "<IP>").encode()).hexdigest()
+    # a clean doc's redacted hash is the hash of its (augment-free) text —
+    # impossible here since every doc_id in DOCS trips a modulus or has
+    # natural PII except none; doc 1's aug == text, redaction touches only
+    # the natural email
+    assert got[1]["redacted_md5"] == hashlib.md5(
+        "one two three four <EMAIL> here".encode()).hexdigest()
+
+
+def test_pii_patterns_do_not_cross_match():
+    # the phone pattern must not fire inside any constructible IPv4 (octets
+    # are 1-3 digits, phones need a 4-digit tail)
+    for ip in ("10.123.224.208", "192.168.1.1", "10.0.0.0"):
+        assert re.findall(PII_PHONE, ip) == []
+        assert re.findall(PII_EMAIL, ip) == []
+    # and the email pattern consumes its full address greedily
+    assert re.findall(PII_EMAIL, "user12@example.com rest") == \
+        ["user12@example.com"]
+
+
+# --- decontamination ---------------------------------------------------------
+
+def _is_bench(doc_id):
+    return hashlib.md5(f"bench|{doc_id}".encode()).hexdigest()[0] in "0123"
+
+
+def _decon_ref(docs, n=DECON_N):
+    toks = {i: t.lower().split() for i, t, _ in docs}
+    bench = set()
+    for i, tk in toks.items():
+        if _is_bench(i) and len(tk) >= n:
+            bench |= {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+    out = {}
+    for i, tk in toks.items():
+        if _is_bench(i) or len(tk) < n:
+            continue
+        grams = [" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)]
+        c = sum(1 for g in grams if g in bench)
+        frac = round(c / len(grams), 6)
+        out[i] = {"n_grams": len(grams), "n_contaminated": c,
+                  "contam_frac": frac,
+                  "flagged": int(frac >= DECON_FLAG_FRAC)}
+    return out
+
+
+def test_decontaminate_three_way(spark, corpus):
+    d, con = corpus
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate(spark, d).collect()}
+    want = _decon_ref(DOCS)
+    assert set(got) == set(want)          # bench docs + doc 6 absent
+    for doc_id, exp in want.items():
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+    oracle = con.execute(DECONTAMINATE_SQL).df()
+    assert len(oracle) == len(want)
+    for _, row in oracle.iterrows():
+        exp = want[row["doc_id"]]
+        for k in exp:
+            assert row[k] == pytest.approx(exp[k]), (row["doc_id"], k)
+
+
+def test_decontaminate_hand_values(spark, corpus):
+    d, _ = corpus
+    assert _is_bench(4) and _is_bench(5)          # the fixture's premise
+    assert not any(_is_bench(i) for i in (0, 1, 2, 3, 6, 7))
+    got = {r["doc_id"]: r for r in decontaminate(spark, d).collect()}
+    assert 4 not in got and 5 not in got and 6 not in got
+    # doc 3 is a verbatim copy of bench doc 4 → fully contaminated
+    assert (got[3]["n_grams"], got[3]["n_contaminated"]) == (3, 3)
+    assert got[3]["contam_frac"] == 1.0 and got[3]["flagged"] == 1
+    # doc 0 shares exactly its leading trigram with bench
+    assert (got[0]["n_contaminated"], got[0]["n_grams"]) == (1, 3)
+    assert got[0]["flagged"] == 1                  # 0.333 ≥ 0.2
+    # doc 2's hit is mid-document (boundary positions matter)
+    assert got[2]["n_contaminated"] == 1
+    # doc 1 is clean → not flagged
+    assert (got[1]["n_contaminated"], got[1]["flagged"]) == (0, 0)

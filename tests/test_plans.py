@@ -279,3 +279,38 @@ def test_chunk_dedup_hash_only_cross_doc_shuffle(spark):
     # no exchange moves raw tok/chunk-text columns
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "tok" not in m, m
+
+
+def test_pii_redact_single_scan_no_shuffle_but_sort(spark):
+    """All regex counting + redaction happens in one codegen'd projection
+    over one pruned scan; the only exchange is the gate-determinism
+    ORDER BY (drop it in production and the stage is shuffle-free)."""
+    from readability_spark.ops.curation import pii_redact
+
+    plan = plan_of(pii_redact(spark, SF))
+    assert nodes(plan, "Scan parquet") == 1, plan
+    assert nodes(plan, "Exchange") == 1, plan
+    assert nodes(plan, "BroadcastExchange") == 0, plan
+    assert nodes(plan, "Generate") == 0, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>",
+                     plan), plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set (MBs at corpus scale) broadcasts; the
+    candidate side never shuffles gram text — exactly three exchanges:
+    the bench distinct, the per-doc aggregate, and the output sort."""
+    from readability_spark.ops.curation import decontaminate
+
+    plan = plan_of(decontaminate(spark, SF))
+    assert nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert nodes(plan, "SortMergeJoin") == 0, plan
+    assert nodes(plan, "Exchange") == 3, plan
+    assert nodes(plan, "BroadcastExchange") == 1, plan
+    assert nodes(plan, "Scan parquet") == 2, plan   # bench + candidate legs
+    # exactly ONE gram-keyed exchange — the bench-side distinct, bounded
+    # by benchmark size; the corpus-sized candidate leg shuffles only the
+    # per-doc aggregate
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert sum("gram" in k for k in keys) == 1, keys
+    assert sum("doc_id" in k for k in keys) == len(keys) - 1, keys
