@@ -40,8 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import curation, dedup, multimodal
-    from readability_spark.ops import pdfsource, quality
+    from readability_spark.ops import curation, dedup, graph, multimodal
+    from readability_spark.ops import pdfsource, quality, retrieval
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -105,14 +105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus scrubbing: PII redaction + benchmark decontamination
         "pii_redact": curation.pii_redact,
         "decontaminate": curation.decontaminate,
+        # iterative link-graph analytics (fixed-point integer PageRank)
+        "link_pagerank": graph.link_pagerank,
+        # inverted-index retrieval (integer tf-idf top-k per probe query)
+        "search_topk": retrieval.search_topk,
         # PDF leg of the extraction tier (text → PDF → text, exact)
         "pdf_extract": pdfsource.pdf_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import curation, dedup, multimodal
-    from readability_spark.ops import pdfsource, quality
+    from readability_spark.ops import curation, dedup, graph, multimodal
+    from readability_spark.ops import pdfsource, quality, retrieval
     from readability_spark.ops import relational, similarity, textstats
 
     return {
@@ -162,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": quality.TOP_TERMS_SQL,
         "pii_redact": curation.PII_REDACT_SQL,
         "decontaminate": curation.DECONTAMINATE_SQL,
+        "link_pagerank": graph.LINK_PAGERANK_SQL,
+        "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,

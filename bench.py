@@ -74,7 +74,7 @@ OPS_QUERIES = [
     "dedup_near", "dedup_clusters", "dedup_embedding", "ann_cosine_topk",
     "ann_bandor_topk", "ann_ivf_topk", "topk_per_group",
     "score_propagation", "sessionize", "token_counts", "lang_id",
-    "pii_redact", "decontaminate",
+    "pii_redact", "decontaminate", "link_pagerank", "search_topk",
 ]
 
 
