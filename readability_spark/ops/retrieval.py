@@ -64,7 +64,11 @@ def search_topk(spark: SparkSession, sf_dir: str,
     postings = (docs
                 .select("doc_id", F.explode("toks").alias("term"))
                 .groupBy("term", "doc_id")
-                .agg(F.count("*").cast("long").alias("tf")))
+                .agg(F.count("*").cast("long").alias("tf"))
+                # materialize once: df_t and the probe join both read the
+                # postings — without this the corpus is scanned twice more
+                # (the top_terms precedent; durable checkpoint on a cluster)
+                .localCheckpoint())
     df_t = (postings.groupBy("term")
             .agg(F.count("*").cast("long").alias("df")))
 
