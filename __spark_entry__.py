@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from readability_spark.ops import curation, dedup, graph, multimodal
-    from readability_spark.ops import pdfsource, quality, retrieval
-    from readability_spark.ops import relational, similarity, textstats
+    from readability_spark.ops import packing, pdfsource, quality
+    from readability_spark.ops import relational, retrieval, similarity
+    from readability_spark.ops import stats, textstats
 
     return {
         # extraction engine (pandas-UDF core) with closed-form SQL oracles
@@ -109,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
         "search_topk": retrieval.search_topk,
+        # training-sequence packing layout (per-lang concat-and-chop)
+        "pack_sequences": packing.pack_sequences,
+        # exact per-lang length quantiles (nearest-rank, integer)
+        "length_quantiles": stats.length_quantiles,
         # PDF leg of the extraction tier (text → PDF → text, exact)
         "pdf_extract": pdfsource.pdf_extract,
     }
@@ -116,8 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from readability_spark.ops import curation, dedup, graph, multimodal
-    from readability_spark.ops import pdfsource, quality, retrieval
-    from readability_spark.ops import relational, similarity, textstats
+    from readability_spark.ops import packing, pdfsource, quality
+    from readability_spark.ops import relational, retrieval, similarity
+    from readability_spark.ops import stats, textstats
 
     return {
         "extract_articles": relational.EXTRACT_ARTICLES_SQL,
@@ -168,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.DECONTAMINATE_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "length_quantiles": stats.LENGTH_QUANTILES_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,
