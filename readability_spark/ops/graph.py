@@ -72,6 +72,8 @@ def link_pagerank(spark: SparkSession, sf_dir: str,
     # Driver-side scalar only (like the LSH sign computation at plan
     # build): N parameterizes literals; no row data leaves the executors.
     n = docs.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_id bigint, pagerank bigint")
     init = PR_SCALE // n
     base = (15 * init) // 100
 

@@ -154,6 +154,16 @@ def test_pagerank_mass_invariants(spark, corpus):
     assert max(pr.values()) > init
 
 
+def test_pagerank_empty_corpus(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = link_pagerank(spark, d)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "pagerank"]
+
+
 def test_pagerank_deterministic(spark, corpus):
     d, _ = corpus
     a = link_pagerank(spark, d).collect()
