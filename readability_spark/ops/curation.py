@@ -145,15 +145,22 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         .withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= n)
         .withColumn("is_bench", F.expr(_BENCH_PRED))
-        # get() (NULL past the end) not toks[..]: Catalyst infers a
-        # size(grams) > 0 predicate from the downstream explode and may
-        # evaluate the inlined transform on rows the n_tokens filter
-        # drops — ANSI indexing would throw there.  Surviving rows never
-        # index out of bounds, so values are unchanged.
+        # HOF lambdas are interpreted (no codegen), so per-lambda work
+        # dominates gram cost: n get() references per gram ran 2.7x
+        # slower than ONE array_join(slice(...)) call (16.2s -> 5.9s for
+        # 260k grams at sf0.1, measured warm).  The if() guard matters:
+        # Catalyst infers a size(grams) > 0 predicate from the downstream
+        # explode and may evaluate the inlined transform on rows the
+        # n_tokens filter drops — there sequence(1, n_tokens - n + 1)
+        # would be DESCENDING (its implicit step becomes -1), feeding
+        # slice a zero/negative start, which throws.  Empty array on
+        # those rows; surviving rows are unchanged.  (The window-lead
+        # gram builder is faster still on one box but shuffles every
+        # token — wrong shape for a 100 TB candidate leg.)
         .withColumn("grams", F.expr(
-            f"transform(sequence(0, n_tokens - {n}), i -> "
-            f"concat_ws(' ', " +
-            ", ".join(f"get(toks, i + {j})" for j in range(n)) + "))"))
+            f"transform(if(n_tokens >= {n}, "
+            f"sequence(1, n_tokens - {n} + 1), array()), "
+            f"i -> array_join(slice(toks, i, {n}), ' '))"))
     )
     bench = (docs.filter("is_bench")
              .select(F.explode("grams").alias("gram")).distinct()
