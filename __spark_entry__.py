@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         # IVF with bounded-sample Lloyd training (the 100 TB config)
         "ann_ivf_sampled": similarity.ivf_topk_sampled,
+        # SemDedup: semantic dedup inside the SAME quantizer cells
+        "semdedup": similarity.semdedup,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bandor_topk": similarity.BANDOR_TOPK_SQL,
         "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "ann_ivf_sampled": similarity.IVF_SAMPLED_SQL,
+        "semdedup": similarity.SEMDEDUP_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "quality_score": textstats.QUALITY_SQL,
         "token_counts": textstats.TOKEN_COUNTS_SQL,

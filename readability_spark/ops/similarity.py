@@ -772,24 +772,25 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True,
-                  train_limit: int | None = None,
-                  assign_replicas: int = IVF_REPLICAS) -> str:
-    cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
-    cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
-    cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
+def _cents_cte(lloyd: bool = True, train_limit: int | None = None) -> str:
+    """The shared coarse-quantizer CTE block (``cents`` = seed centroids,
+    optionally sharpened by the one Lloyd iteration) — factored out so the
+    IVF oracles and the SemDedup oracle derive their clustering from the
+    byte-identical SQL text that the Spark side's _refine_centroids /
+    _ivf_assign pair is proven exact against."""
     seed = f"""
   SELECT vec_id AS centroid_id, embedding FROM embeddings
   WHERE vec_id >= {IVF_FIRST} AND vec_id < {IVF_FIRST + IVF_K}"""
-    if lloyd:
-        cos_ac0 = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
-        # one Lloyd iteration, folded in the exact order Spark folds:
-        # per-(centroid, coordinate) left-to-right sum over vec_id-sorted
-        # values (list_reduce has no seed; 0D + x == x exactly), then a
-        # single double/bigint division per coordinate
-        train = (f"WHERE e.vec_id < {train_limit}"
-                 if train_limit is not None else "")
-        cents = f"""cents0 AS ({seed}
+    if not lloyd:
+        return f"cents AS ({seed}\n)"
+    cos_ac0 = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+    # one Lloyd iteration, folded in the exact order Spark folds:
+    # per-(centroid, coordinate) left-to-right sum over vec_id-sorted
+    # values (list_reduce has no seed; 0D + x == x exactly), then a
+    # single double/bigint division per coordinate
+    train = (f"WHERE e.vec_id < {train_limit}"
+             if train_limit is not None else "")
+    return f"""cents0 AS ({seed}
 ), assigned0 AS (
   SELECT neighbor_id, centroid_id FROM (
     SELECT e.vec_id AS neighbor_id, c.centroid_id,
@@ -813,8 +814,15 @@ def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True,
   SELECT centroid_id, list(s / n ORDER BY pos) AS embedding
   FROM coord_sums GROUP BY centroid_id
 )"""
-    else:
-        cents = f"cents AS ({seed}\n)"
+
+
+def _ivf_topk_sql(nprobe: int = IVF_NPROBE, lloyd: bool = True,
+                  train_limit: int | None = None,
+                  assign_replicas: int = IVF_REPLICAS) -> str:
+    cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+    cos_qc = _cos_sql("q.embedding", "c.embedding", EMB_DIM)
+    cos_qn = _cos_sql("qe.embedding", "ne.embedding", EMB_DIM)
+    cents = _cents_cte(lloyd, train_limit)
     return f"""
 WITH {cents}, assigned AS (
   SELECT neighbor_id, centroid_id FROM (
@@ -862,6 +870,200 @@ IVF_TRAIN_SAMPLE = 128
 
 def ivf_topk_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, train_limit=IVF_TRAIN_SAMPLE)
+
+
+# --- SemDedup: semantic deduplication via quantizer clusters ------------------
+#
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication", arXiv:2303.09540): k-means-cluster the embedding
+# space, compare pairs ONLY within a cluster, and inside every group of
+# ε-similar examples keep the one with the LOWEST similarity to its cluster
+# centroid (the "edge" example carries the most information).  This is the
+# corpus-level complement of embedding_near_dup: near_dup FINDS similar
+# pairs via LSH; semdedup DECIDES which side of each pair to drop, with the
+# quadratic work confined to quantizer cells instead of hash buckets.
+#
+# Clustering reuses the exact IVF coarse quantizer the ANN gate pins
+# (fixed-id seeds + one deterministic Lloyd iteration + zero-shuffle in-row
+# assignment), so the cluster structure here is the SAME structure
+# ann_ivf_topk probes — one trained artifact serves both retrieval and
+# dedup, which is how a production pipeline amortizes the k-means cost.
+#
+# Determinism: the paper's "keep lowest centroid-similarity" rule is made
+# total by the (cent_cos, vec_id) lexicographic key — x is dropped iff some
+# above-ε cluster-neighbor y has a strictly smaller key.  Within any dup
+# pair the higher-key side is dropped, so no surviving pair is ε-similar
+# (chains can keep several mutually-dissimilar members — exactly the
+# greedy per-group argmin the paper describes).
+#
+# Gate-scale threshold: same rationale as EMB_DUP_THRESHOLD — the synthetic
+# corpus has no true duplicates (max pairwise cos ≈ 0.51), so ε=0.4 sits in
+# the top tail of the within-cluster pair distribution and exercises both
+# the drop and keep paths; production uses 0.95+ where clusters concentrate
+# real near-copies.
+SEM_DUP_THRESHOLD = EMB_DUP_THRESHOLD
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDedup verdict over the embeddings table: cluster id,
+    centroid similarity, above-ε cluster-neighbor count, and the drop flag.
+    """
+    dim = EMB_DIM
+    guard = (f"if(size(embedding) >= {dim}, embedding, "
+             f"raise_error('embedding narrower than dim={dim}'))")
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(guard))
+    return semdedup_df(emb)
+
+
+def semdedup_df(emb: DataFrame,
+                threshold: float = SEM_DUP_THRESHOLD) -> DataFrame:
+    """DataFrame-core of ``semdedup`` — takes any (vec_id, embedding)
+    table so the planted-duplicate design-point test can run it over a
+    corpus with real near-copies (the parquet corpus has none).
+
+    Scale shape (10^12 vectors): centroid training and assignment are the
+    IVF operators' own (bounded-sample Lloyd, broadcast centroid array,
+    zero-shuffle in-row top-1); the only corpus-sized exchange is the
+    groupBy(centroid_id) that forms cluster cells, and the quadratic pair
+    work is confined to cells — production picks K ≈ n/⟨cell⟩ to hold cell
+    size constant (the paper uses 50k clusters for LAION-440M), so per-cell
+    work is flat while cells parallelize.  The per-vector table feeds three
+    consumers (pair build, both sides of the priority comparison, final
+    output), so it is localCheckpointed once — at real scale that is the
+    persisted "index" artifact shared with ann_ivf_topk.
+    """
+    cents = emb.filter(
+        (F.col("vec_id") >= IVF_FIRST)
+        & (F.col("vec_id") < IVF_FIRST + IVF_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("b"))
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("a"))
+    cents = _refine_centroids(corpus, cents).localCheckpoint()
+    assigned = _ivf_assign(corpus, cents, 1)
+    cc = _with_cosine(
+        assigned.join(corpus, "neighbor_id")
+        .join(F.broadcast(cents), "centroid_id")).select(
+        F.col("neighbor_id").alias("vec_id"), "centroid_id",
+        F.round(F.col("cos"), 6).alias("cent_cos")).localCheckpoint()
+    # within-cell candidate pairs via the single-lineage grouping pattern
+    # (ops.dedup._band_pairs / embedding_near_dup): sorted vec_id array per
+    # cell, i<j expansion with array lambdas — no self-join, the assignment
+    # runs exactly once.  replicas=1 ⇒ a pair can only arise in one cell.
+    cells = (cc.groupBy("centroid_id")
+             .agg(F.array_sort(F.collect_set("vec_id")).alias("vs"))
+             .filter(F.size("vs") >= 2))
+    pair_expr = (
+        "flatten(transform(vs, (x, i) -> "
+        "transform(slice(vs, i + 2, size(vs)), "
+        "y -> struct(x AS vec_a, y AS vec_b))))")
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("b"))
+    # the verified dup-pair set is tiny (threshold tail of within-cell
+    # pairs); materialize it once — its lineage otherwise replays the
+    # explode + two corpus joins for each of the union sides below
+    pairs = (
+        _with_cosine(
+            cells.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.vec_a", "p.vec_b")
+            .join(ea, "vec_a").join(eb, "vec_b"))
+        .filter(F.round(F.col("cos"), 6) >= threshold)
+        .select("vec_a", "vec_b")).localCheckpoint()
+    adj = pairs.select(F.col("vec_a").alias("vec_id"),
+                       F.col("vec_b").alias("other")).union(
+        pairs.select(F.col("vec_b").alias("vec_id"),
+                     F.col("vec_a").alias("other")))
+    key = cc.select("vec_id", "cent_cos")
+    # one pass over the adjacency: neighbor count + "some neighbor has a
+    # strictly lower (cent_cos, vec_id) key" in a single aggregation
+    lower = ((F.col("cent_cos") > F.col("other_cos"))
+             | ((F.col("cent_cos") == F.col("other_cos"))
+                & (F.col("vec_id") > F.col("other"))))
+    flags = (
+        adj.join(key, "vec_id")
+        .join(key.select(F.col("vec_id").alias("other"),
+                         F.col("cent_cos").alias("other_cos")), "other")
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("long").alias("n_dups"),
+             F.max(lower.cast("int")).alias("d")))
+    return (
+        cc.join(flags, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id", "cent_cos",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long")
+            .alias("n_dups"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("dropped"))
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql(threshold: float = SEM_DUP_THRESHOLD) -> str:
+    """DuckDB mirror: the shared quantizer CTE (_cents_cte — byte-identical
+    to the IVF oracles'), rn=1 assignment, cell self-join for pairs with
+    the identical rounded-cosine threshold, and the same lexicographic
+    (cent_cos, vec_id) drop rule.  ``threshold`` is the SAME parameter
+    ``semdedup_df`` takes, so operator and oracle cannot silently diverge.
+    """
+    cos_ac = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+    cos_ec = _cos_sql("e.embedding", "c.embedding", EMB_DIM)
+    cos_ab = _cos_sql("ea.embedding", "eb.embedding", EMB_DIM)
+    # cc is referenced four times (both pair sides, both priority sides,
+    # final output) and itself references the quantizer twice; DuckDB
+    # inlines plain CTEs per reference, which explodes the 64-term cosine
+    # chains into an unplannable tree (observed: planner OOM at sf0.001).
+    # MATERIALIZED pins each to one evaluation — the oracle analogue of the
+    # Spark side's localCheckpoint on the same tables.
+    return f"""
+WITH {_cents_cte()}, assigned AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT e.vec_id AS neighbor_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ac} DESC, c.centroid_id ASC)
+             AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), cc AS MATERIALIZED (
+  SELECT a.neighbor_id AS vec_id, a.centroid_id,
+         round({cos_ec}, 6) AS cent_cos
+  FROM assigned a
+  JOIN embeddings e ON e.vec_id = a.neighbor_id
+  JOIN cents c ON c.centroid_id = a.centroid_id
+), pairs AS MATERIALIZED (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM cc l
+  JOIN cc r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+  JOIN embeddings ea ON ea.vec_id = l.vec_id
+  JOIN embeddings eb ON eb.vec_id = r.vec_id
+  WHERE round({cos_ab}, 6) >= {threshold}
+), adj AS MATERIALIZED (
+  SELECT vec_a AS vec_id, vec_b AS other FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS other FROM pairs
+), dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM adj j
+  JOIN cc x ON x.vec_id = j.vec_id
+  JOIN cc y ON y.vec_id = j.other
+  WHERE x.cent_cos > y.cent_cos
+     OR (x.cent_cos = y.cent_cos AND x.vec_id > y.vec_id)
+), ndup AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups FROM adj GROUP BY vec_id
+)
+SELECT cc.vec_id, cc.centroid_id, cc.cent_cos,
+       CAST(coalesce(n.n_dups, 0) AS BIGINT) AS n_dups,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS dropped
+FROM cc
+LEFT JOIN ndup n ON n.vec_id = cc.vec_id
+LEFT JOIN dropped d ON d.vec_id = cc.vec_id
+ORDER BY cc.vec_id
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()
 
 
 IVF_SAMPLED_SQL = _ivf_topk_sql(train_limit=IVF_TRAIN_SAMPLE)

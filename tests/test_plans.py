@@ -314,3 +314,22 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert sum("gram" in k for k in keys) == 1, keys
     assert sum("doc_id" in k for k in keys) == len(keys) - 1, keys
+
+
+def test_semdedup_reads_only_checkpointed_artifacts(spark):
+    """SemDedup's returned plan must consume the two materialized
+    artifacts — the per-vector quantizer table (cc: ×3 — both priority
+    sides + final output) and the verified dup-pair set (×2 — the two
+    union sides of the adjacency) — and never replay training,
+    assignment, or the pair build: no parquet re-scan, no explode, no
+    cartesian, and no quantizer aggregate in the final lineage.  Without
+    the pair checkpoint the explode + two corpus joins replayed FOUR
+    times (once per adjacency consumer side)."""
+    from readability_spark.ops.similarity import semdedup
+
+    plan = plan_of(semdedup(spark, SF))
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "Scan parquet") == 0, plan
+    assert nodes(plan, "Generate") == 0, plan
+    assert nodes(plan, "Scan ExistingRDD") == 5, plan
+    assert "collect_list(struct(neighbor_id" not in plan, plan
