@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified sampling, distinctive terms) — pure codegen
         "quality_repetition": quality.quality_repetition,
         "chunk_dedup": quality.chunk_dedup,
+        # CCNet-style keep-first dedup with document rewrite
+        "line_dedup": quality.line_dedup,
         "sample_stratified": quality.sample_stratified,
         "top_terms": quality.top_terms,
         # multimodal plumbing (mapInPandas; rows-only)
@@ -171,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.FINGERPRINT_SQL,
         "quality_repetition": quality.QUALITY_REPETITION_SQL,
         "chunk_dedup": quality.CHUNK_DEDUP_SQL,
+        "line_dedup": quality.LINE_DEDUP_SQL,
         "sample_stratified": quality.SAMPLE_STRATIFIED_SQL,
         "top_terms": quality.TOP_TERMS_SQL,
         "pii_redact": curation.PII_REDACT_SQL,

@@ -75,7 +75,7 @@ OPS_QUERIES = [
     "ann_bandor_topk", "ann_ivf_topk", "topk_per_group",
     "score_propagation", "sessionize", "token_counts", "lang_id",
     "pii_redact", "decontaminate", "link_pagerank", "search_topk",
-    "pack_sequences", "length_quantiles", "semdedup",
+    "pack_sequences", "length_quantiles", "semdedup", "line_dedup",
 ]
 
 

@@ -203,6 +203,113 @@ GROUP BY c.doc_id
 ORDER BY c.doc_id
 """
 
+# --- CCNet-style keep-first dedup with document rewrite -----------------------
+#
+# Wenzek et al. 2019 ("CCNet: Extracting High Quality Monolingual Datasets
+# from Web Crawl Data", arXiv:1911.00359) dedup Common Crawl by hashing
+# PARAGRAPHS and keeping only the first occurrence of each hash across the
+# whole shard, REWRITING every document to its surviving paragraphs.  The
+# synthetic corpus is single-line token soup, so paragraphs are re-based on
+# the same fixed CHUNK_TOKENS chunks chunk_dedup detects — this operator is
+# its transform complement: chunk_dedup reports shared fractions,
+# line_dedup actually removes repeats (including within-document repeats)
+# and emits the cleaned text identity.
+#
+# First-occurrence is the global minimum (doc_id, cidx) per chunk hash —
+# deterministic and engine-independent, the hash-ordered analogue of
+# CCNet's "first seen in shard order".
+
+
+def line_dedup(spark: SparkSession, sf_dir: str,
+               chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Keep-first chunk dedup with rewrite: per document, how many chunks
+    survive, and the md5 of the text rebuilt from surviving chunks.
+
+    Scale shape (100 TB): chunk text NEVER shuffles on the content key —
+    the cross-document exchange carries (md5, doc_id, cidx) only; the
+    keep/remove flags come back as a per-document sorted cidx array
+    (doc-keyed, integers), and the cleaned text is rebuilt IN-ROW from the
+    original token array (slice + array_join over the kept indices).
+    Ragged tails participate (a short final chunk is a real line), unlike
+    chunk_dedup's detection-only framing which drops them.
+    """
+    k = chunk_tokens
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    # (doc_id, cidx, h) built in-row: one scan, no text in the hash leg
+    chunked = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, (n_tokens - 1) div {k}), "
+            f"i -> struct(i AS cidx, "
+            f"md5(array_join(slice(toks, i * {k} + 1, {k}), ' ')) AS h))"
+        )).alias("c")).select("doc_id", "c.cidx", "c.h")
+    first = chunked.groupBy("h").agg(
+        F.min(F.struct("doc_id", "cidx")).alias("f"))
+    kept = (
+        chunked.join(first, "h")
+        .withColumn(
+            "keep",
+            (F.struct("doc_id", "cidx") == F.col("f")).cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(1 - F.col("keep")).cast("long").alias("removed_chunks"),
+            F.array_sort(F.collect_list(
+                F.when(F.col("keep") == 1, F.col("cidx")))).alias("ks")))
+    return (
+        docs.join(kept, "doc_id")
+        .select(
+            "doc_id", "n_chunks", "removed_chunks",
+            # surviving token count: tail chunks are shorter than k
+            F.expr(
+                f"cast(aggregate(ks, 0L, (acc, i) -> acc + "
+                f"least(cast({k} as long), n_tokens - i * {k})) as long)")
+            .alias("kept_tokens"),
+            F.expr(
+                f"md5(array_join(transform(ks, "
+                f"i -> array_join(slice(toks, i * {k} + 1, {k}), ' ')), "
+                f"' '))").alias("cleaned_md5"))
+        .orderBy("doc_id")
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) >= 1
+), c AS (
+  SELECT doc_id, i AS cidx,
+         array_to_string(toks[(i * {CHUNK_TOKENS} + 1):
+                              ((i + 1) * {CHUNK_TOKENS})], ' ') AS txt,
+         least({CHUNK_TOKENS}, n_tokens - i * {CHUNK_TOKENS}) AS sz
+  FROM (SELECT doc_id, toks, n_tokens,
+               unnest(range(0, (n_tokens - 1) // {CHUNK_TOKENS} + 1)) AS i
+        FROM d)
+), f AS (
+  SELECT doc_id, cidx, txt, sz,
+         CASE WHEN row_number() OVER (
+                PARTITION BY md5(txt) ORDER BY doc_id, cidx) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(1 - keep) AS BIGINT) AS removed_chunks,
+       CAST(coalesce(sum(CASE WHEN keep = 1 THEN sz END), 0) AS BIGINT)
+         AS kept_tokens,
+       md5(coalesce(string_agg(CASE WHEN keep = 1 THEN txt END, ' '
+                               ORDER BY cidx), '')) AS cleaned_md5
+FROM f
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 # --- deterministic stratified sampling ---------------------------------------
 
 SAMPLE_PER_STRATUM = 25

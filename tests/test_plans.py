@@ -333,3 +333,21 @@ def test_semdedup_reads_only_checkpointed_artifacts(spark):
     assert nodes(plan, "Generate") == 0, plan
     assert nodes(plan, "Scan ExistingRDD") == 5, plan
     assert "collect_list(struct(neighbor_id" not in plan, plan
+
+
+def test_line_dedup_text_never_shuffles(spark):
+    """CCNet-style rewrite at 100 TB: the cross-document exchange carries
+    (chunk md5, first-occurrence buffer) and the per-document exchange
+    carries integer counters — token arrays and raw text must stay
+    map-side (the rewrite happens IN-ROW from the original token array
+    after the flag join).  Three exchanges total: h-keyed first-occurrence
+    agg, doc-keyed flag agg, output sort."""
+    from readability_spark.ops.quality import line_dedup
+
+    plan = plan_of(line_dedup(spark, SF))
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "Exchange") == 3, plan
+    for inp, args in re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: ([^\n]*)", plan):
+        assert "text#" not in inp and "toks#" not in inp, (inp, args)

@@ -15,10 +15,12 @@ import pytest
 from readability_spark.ops.quality import (
     CHUNK_DEDUP_SQL,
     CHUNK_TOKENS,
+    LINE_DEDUP_SQL,
     QUALITY_REPETITION_SQL,
     SAMPLE_STRATIFIED_SQL,
     TOP_TERMS_SQL,
     chunk_dedup,
+    line_dedup,
     quality_repetition,
     sample_stratified,
     top_terms,
@@ -192,3 +194,88 @@ def test_top_terms_tiebreaks(spark, corpus):
         assert keys == sorted(keys), doc_id
     oracle = con.execute(TOP_TERMS_SQL).fetchall()
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in oracle)
+
+
+# --- line_dedup (keep-first rewrite) ------------------------------------------
+
+LDOCS = [
+    # every keep/remove decision hand-computable at CHUNK_TOKENS=4
+    (0, "a b c d e f g h", "en"),        # 2 full chunks, both unique
+    (1, "a b c d x y z", "en"),          # chunk 0 repeats doc 0's → removed
+    (2, "p q r s p q r s p q", "fr"),    # WITHIN-doc repeat + ragged tail
+    (3, "a b c d", "fr"),                # whole doc removed → empty rewrite
+    (4, "m n", "es"),                    # ragged-only doc, unique, kept
+]
+
+
+def _line_ref(docs, k=CHUNK_TOKENS):
+    import hashlib
+    chunks = {}
+    for doc_id, text, _ in docs:
+        toks = text.lower().split()
+        chunks[doc_id] = [" ".join(toks[i:i + k])
+                          for i in range(0, len(toks), k)]
+    first = {}
+    for doc_id in sorted(chunks):
+        for cidx, c in enumerate(chunks[doc_id]):
+            first.setdefault(c, (doc_id, cidx))
+    out = {}
+    for doc_id, cs in chunks.items():
+        kept = [c for i, c in enumerate(cs) if first[c] == (doc_id, i)]
+        cleaned = " ".join(kept)
+        out[doc_id] = {
+            "n_chunks": len(cs),
+            "removed_chunks": len(cs) - len(kept),
+            "kept_tokens": sum(len(c.split()) for c in kept),
+            "cleaned_md5": hashlib.md5(cleaned.encode()).hexdigest(),
+        }
+    return out
+
+
+def test_line_dedup_keep_first_rewrite(spark, tmp_path):
+    import duckdb as ddb
+    d = str(tmp_path)
+    spark.createDataFrame(
+        LDOCS, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: {k: v for k, v in r.asDict().items()
+                         if k != "doc_id"}
+           for r in line_dedup(spark, d).collect()}
+    want = _line_ref(LDOCS)
+    assert got == want
+    # the hand-derivable pins, explicit:
+    assert got[1]["removed_chunks"] == 1 and got[1]["kept_tokens"] == 3
+    assert got[2]["removed_chunks"] == 1 and got[2]["kept_tokens"] == 6
+    assert got[3]["kept_tokens"] == 0      # fully boilerplate doc
+    import hashlib
+    assert got[3]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert got[4]["n_chunks"] == 1         # ragged tail is a real line
+    # oracle parity on the same crafted corpus
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    oracle = con.execute(LINE_DEDUP_SQL).df()
+    assert {(r["doc_id"], r["n_chunks"], r["removed_chunks"],
+             r["kept_tokens"], r["cleaned_md5"])
+            for _, r in oracle.iterrows()} == \
+           {(k, v["n_chunks"], v["removed_chunks"], v["kept_tokens"],
+             v["cleaned_md5"]) for k, v in want.items()}
+
+
+def test_line_dedup_idempotent_on_clean_corpus(spark, tmp_path):
+    """A corpus with no repeated chunks rewrites to itself: zero removals
+    and cleaned_md5 == md5 of the (lower/trimmed, space-joined) source."""
+    import duckdb as ddb  # noqa: F401  (symmetry with the sibling test)
+    import hashlib
+    docs = [(i, " ".join(f"w{i}t{j}" for j in range(9)), "en")
+            for i in range(6)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in line_dedup(spark, d).collect()}
+    for i, text, _ in docs:
+        assert got[i]["removed_chunks"] == 0
+        assert got[i]["kept_tokens"] == 9
+        assert got[i]["cleaned_md5"] == \
+            hashlib.md5(text.encode()).hexdigest()
