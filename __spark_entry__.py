@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": quality.chunk_dedup,
         # CCNet-style keep-first dedup with document rewrite
         "line_dedup": quality.line_dedup,
+        # ExactSubstr-style repeated-substring span coverage
+        "repeated_substr": quality.repeated_substr,
         "sample_stratified": quality.sample_stratified,
         "top_terms": quality.top_terms,
         # multimodal plumbing (mapInPandas; rows-only)
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_repetition": quality.QUALITY_REPETITION_SQL,
         "chunk_dedup": quality.CHUNK_DEDUP_SQL,
         "line_dedup": quality.LINE_DEDUP_SQL,
+        "repeated_substr": quality.REPEATED_SUBSTR_SQL,
         "sample_stratified": quality.SAMPLE_STRATIFIED_SQL,
         "top_terms": quality.TOP_TERMS_SQL,
         "pii_redact": curation.PII_REDACT_SQL,

@@ -310,6 +310,130 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# --- ExactSubstr-style repeated-substring span coverage ------------------------
+#
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) remove substrings of ≥50 tokens that appear
+# more than once in the corpus (ExactSubstr, suffix-array based).  The
+# Spark-shaped equivalent: hash every k-token window, keep positions whose
+# window text occurs ≥2 times ANYWHERE (other documents or elsewhere in
+# the same one), and merge each document's repeated positions into maximal
+# covered spans — interval math over the sorted position list, done IN-ROW
+# (two windows [p,p+k) and [q,q+k) merge iff q-p ≤ k).  Reported coverage
+# is the ExactSubstr removal criterion; k=5 at the gate (the suite's Zipf
+# vocabulary makes 5-gram collisions graded where 50-grams would be
+# all-zero), production raises k and nothing else.
+
+SUBSTR_K = 5
+SUBSTR_FLAG_FRAC = 0.2
+
+
+def repeated_substr(spark: SparkSession, sf_dir: str,
+                    k: int = SUBSTR_K) -> DataFrame:
+    """Per-document repeated-substring statistics: repeated window
+    positions, merged span count, covered-token count/fraction, flag.
+
+    Scale shape (100 TB): the gram leg explodes to (doc_id, pos, md5)
+    only — window text never leaves the row it was built in; the
+    duplicate-hash filter is a hash-keyed semi-join of integer+hash rows;
+    span merging is in-row arithmetic over each document's sorted
+    position array (bounded by document length).  Same inferred-predicate
+    guard as decontaminate: the if() keeps the descending-sequence /
+    ANSI-index hazard off rows the length filter drops.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(if(n_tokens >= {k}, "
+            f"sequence(0, n_tokens - {k}), array()), "
+            f"i -> struct(i AS pos, "
+            f"md5(array_join(slice(toks, i + 1, {k}), ' ')) AS h))"
+        )).alias("g")).select("doc_id", "g.pos", "g.h")
+    dup = pos.groupBy("h").agg(F.count("*").alias("cnt")) \
+        .filter(F.col("cnt") >= 2).select("h")
+    rep = (
+        pos.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps")))
+    # sequence(0, size-2) flips DESCENDING at size=1 and ANSI-indexes past
+    # the array — both branches guarded
+    covered = (
+        f"cast(if(size(ps) >= 2, "
+        f"aggregate(transform(sequence(0, size(ps) - 2), "
+        f"i -> least({k}, ps[i + 1] - ps[i])), 0L, (a, x) -> a + x), 0L) "
+        f"+ {k} as long)")
+    spans = (
+        f"cast(if(size(ps) >= 2, "
+        f"size(filter(sequence(0, size(ps) - 2), "
+        f"i -> ps[i + 1] - ps[i] > {k})), 0) + 1 as long)")
+    return (
+        docs.select("doc_id", "n_tokens").join(rep, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("n_tokens") - k + 1).cast("long").alias("n_windows"),
+            F.coalesce(F.size("ps"), F.lit(0)).cast("long")
+            .alias("n_repeated"),
+            F.when(F.col("ps").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.expr(spans)).alias("n_spans"),
+            F.when(F.col("ps").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.expr(covered)).alias("covered_tokens"))
+        .withColumn(
+            "covered_frac",
+            F.round(F.col("covered_tokens") * 1.0 / F.col("n_tokens"), 6))
+        .withColumn(
+            "flagged",
+            (F.col("covered_frac") >= SUBSTR_FLAG_FRAC).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+REPEATED_SUBSTR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+  WHERE len(toks) >= {SUBSTR_K}
+), p AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:(i + {SUBSTR_K} - 1)], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {SUBSTR_K} + 1)) AS i
+        FROM d)
+), dup AS (
+  SELECT h FROM p GROUP BY h HAVING count(*) >= 2
+), rp AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS ps
+  FROM p JOIN dup USING (h) GROUP BY doc_id
+), a AS (
+  SELECT d.doc_id, d.n_tokens,
+         CAST(d.n_tokens - {SUBSTR_K} + 1 AS BIGINT) AS n_windows,
+         CAST(coalesce(len(ps), 0) AS BIGINT) AS n_repeated,
+         CASE WHEN ps IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(coalesce(len(list_filter(range(1, len(ps)), i ->
+                     ps[i + 1] - ps[i] > {SUBSTR_K})), 0) + 1 AS BIGINT)
+         END AS n_spans,
+         CASE WHEN ps IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST(coalesce(list_sum(list_transform(range(1, len(ps)),
+                     i -> least({SUBSTR_K}, ps[i + 1] - ps[i]))), 0)
+                   + {SUBSTR_K} AS BIGINT)
+         END AS covered_tokens
+  FROM d LEFT JOIN rp ON rp.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, n_windows, n_repeated, n_spans, covered_tokens,
+       round(covered_tokens * 1.0 / n_tokens, 6) AS covered_frac,
+       CAST(CASE WHEN round(covered_tokens * 1.0 / n_tokens, 6)
+                      >= {SUBSTR_FLAG_FRAC} THEN 1 ELSE 0 END AS INT)
+         AS flagged
+FROM a
+ORDER BY doc_id
+"""
+
 # --- deterministic stratified sampling ---------------------------------------
 
 SAMPLE_PER_STRATUM = 25

@@ -351,3 +351,19 @@ def test_line_dedup_text_never_shuffles(spark):
             r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
             r"Arguments: ([^\n]*)", plan):
         assert "text#" not in inp and "toks#" not in inp, (inp, args)
+
+
+def test_repeated_substr_gram_text_stays_in_row(spark):
+    """ExactSubstr coverage at 100 TB: window text is hashed in the row
+    that built it — the duplicate-hash filter and the position collection
+    shuffle (md5, doc_id, pos) integers only; the span merge is in-row
+    array arithmetic.  No exchange may carry text/toks."""
+    from readability_spark.ops.quality import repeated_substr
+
+    plan = plan_of(repeated_substr(spark, SF))
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "Exchange") == 3, plan
+    for inp, args in re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: ([^\n]*)", plan):
+        assert "text#" not in inp and "toks#" not in inp, (inp, args)

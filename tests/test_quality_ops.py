@@ -16,12 +16,14 @@ from readability_spark.ops.quality import (
     CHUNK_DEDUP_SQL,
     CHUNK_TOKENS,
     LINE_DEDUP_SQL,
+    REPEATED_SUBSTR_SQL,
     QUALITY_REPETITION_SQL,
     SAMPLE_STRATIFIED_SQL,
     TOP_TERMS_SQL,
     chunk_dedup,
     line_dedup,
     quality_repetition,
+    repeated_substr,
     sample_stratified,
     top_terms,
 )
@@ -279,3 +281,97 @@ def test_line_dedup_idempotent_on_clean_corpus(spark, tmp_path):
         assert got[i]["kept_tokens"] == 9
         assert got[i]["cleaned_md5"] == \
             hashlib.md5(text.encode()).hexdigest()
+
+
+# --- repeated_substr (ExactSubstr-style span coverage) -------------------------
+
+SDOCS = [
+    # k=5 windows, every span hand-computable
+    (0, "a b c d e f g h i j", "en"),     # shares "a b c d e" with doc 1
+    (1, "z a b c d e y x w v u", "en"),   # the shared window at pos 1
+    (2, "m m m m m m m m", "fr"),         # all 4 windows identical (self)
+    (3, "q r s t", "fr"),                 # < k tokens -> absent
+    (4, "n o p q r", "es"),               # one unique window -> zeros
+]
+
+
+def _substr_ref(docs, k=5):
+    from collections import Counter
+    wins = {}
+    for doc_id, text, _ in docs:
+        toks = text.lower().split()
+        if len(toks) >= k:
+            wins[doc_id] = [" ".join(toks[i:i + k])
+                            for i in range(len(toks) - k + 1)]
+    cnt = Counter(w for ws in wins.values() for w in ws)
+    out = {}
+    for doc_id, ws in wins.items():
+        n = len(docs[doc_id][1].split())
+        ps = [i for i, w in enumerate(ws) if cnt[w] >= 2]
+        covered = spans = 0
+        if ps:
+            spans = 1 + sum(1 for a, b in zip(ps, ps[1:]) if b - a > k)
+            covered = sum(min(k, b - a) for a, b in zip(ps, ps[1:])) + k
+        frac = round(covered / n, 6)
+        out[doc_id] = {"n_tokens": n, "n_windows": len(ws),
+                       "n_repeated": len(ps), "n_spans": spans,
+                       "covered_tokens": covered, "covered_frac": frac,
+                       "flagged": int(frac >= 0.2)}
+    return out
+
+
+def test_repeated_substr_hand_pins(spark, tmp_path):
+    import duckdb as ddb
+    d = str(tmp_path)
+    spark.createDataFrame(
+        SDOCS, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: {k: v for k, v in r.asDict().items()
+                         if k != "doc_id"}
+           for r in repeated_substr(spark, d).collect()}
+    want = _substr_ref(SDOCS)
+    assert got == want
+    assert 3 not in got                       # sub-k doc absent
+    # cross-doc repeat covers exactly one window's span on each side
+    assert got[0]["covered_tokens"] == 5 and got[0]["flagged"] == 1
+    assert got[1]["covered_frac"] == pytest.approx(round(5 / 11, 6))
+    # a fully self-repetitive doc is fully covered by ONE merged span
+    assert got[2]["n_repeated"] == 4
+    assert got[2]["n_spans"] == 1
+    assert got[2]["covered_frac"] == 1.0
+    # unique windows -> untouched
+    assert got[4] == {"n_tokens": 5, "n_windows": 1, "n_repeated": 0,
+                      "n_spans": 0, "covered_tokens": 0,
+                      "covered_frac": 0.0, "flagged": 0}
+    con = ddb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    oracle = con.execute(REPEATED_SUBSTR_SQL).df()
+    assert {(r["doc_id"], r["n_repeated"], r["n_spans"],
+             r["covered_tokens"], r["flagged"])
+            for _, r in oracle.iterrows()} == \
+           {(i, v["n_repeated"], v["n_spans"], v["covered_tokens"],
+             v["flagged"]) for i, v in want.items()}
+
+
+def test_repeated_substr_span_merge_gap_boundary(spark, tmp_path):
+    """Positions k apart merge (adjacent spans), k+1 apart split: the
+    interval arithmetic's boundary case, pinned on a crafted pair."""
+    k = 5
+    # doc 0 plants "c0..c4" at positions 0 and 5 (gap == k -> ONE span of
+    # 10) and doc 1 plants it at 0 and 6 (gap k+1 -> TWO spans, 10 tokens
+    # covered either way); doc 2 donates the second occurrence of each
+    # window text so both planted docs repeat.
+    c = "c0 c1 c2 c3 c4"
+    docs = [
+        (0, f"{c} {c} x0 x1 x2", "en"),
+        (1, f"{c} y9 {c} y0 y1", "en"),
+        (2, f"{c} z0 z1 z2 z3 z4 z5 z6 {c}", "fr"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in repeated_substr(spark, d).collect()}
+    assert got[0]["n_spans"] == 1 and got[0]["covered_tokens"] == 10
+    assert got[1]["n_spans"] == 2 and got[1]["covered_tokens"] == 10
