@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus scrubbing: PII redaction + benchmark decontamination
         "pii_redact": curation.pii_redact,
         "decontaminate": curation.decontaminate,
+        # DSIR-style importance resampling (integer rank form)
+        "dsir_select": curation.dsir_select,
         # iterative link-graph analytics (fixed-point integer PageRank)
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
@@ -181,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": quality.TOP_TERMS_SQL,
         "pii_redact": curation.PII_REDACT_SQL,
         "decontaminate": curation.DECONTAMINATE_SQL,
+        "dsir_select": curation.DSIR_SELECT_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

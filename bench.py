@@ -76,7 +76,7 @@ OPS_QUERIES = [
     "score_propagation", "sessionize", "token_counts", "lang_id",
     "pii_redact", "decontaminate", "link_pagerank", "search_topk",
     "pack_sequences", "length_quantiles", "semdedup", "line_dedup",
-    "repeated_substr",
+    "repeated_substr", "dsir_select",
 ]
 
 

@@ -28,10 +28,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, table, tokens_col
+from .common import (SQL_TOKENS, md5_prefix_int_expr, md5_prefix_int_sql,
+                     table, tokens_col)
 
 # --- PII detection / redaction -----------------------------------------------
 #
@@ -231,3 +232,123 @@ ORDER BY doc_id
 
 
 DECONTAMINATE_SQL = _decon_sql()
+
+# --- DSIR-style importance resampling -----------------------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling", arXiv:2302.03169) select pre-training data by importance
+# weights computed from hashed n-gram models of a target domain vs the raw
+# pool.  Integer rank form here (the same move top_terms makes for tf-idf):
+# per hashed-unigram bucket, the smoothed frequency ratio
+# ((target+1)*SCALE) // (raw+1) replaces the log-likelihood ratio — sums of
+# per-bucket integer weights preserve the resampling ORDER deterministically
+# and bit-exactly cross-engine, which is what the selection needs (the
+# likelihood VALUE is never consumed).  The target domain is an
+# md5-selected quarter of the corpus (salt 'dsir|'), candidates the rest;
+# buckets come from the shared md5-prefix integer so both engines hash
+# identically.
+#
+# Scale notes (100 TB): the bucket-count leg shuffles (doc_id, bucket,
+# count) integers once and is localCheckpointed for its two consumers
+# (weight table + scoring); the weight table is DSIR_BUCKETS rows —
+# broadcast; top-K selection rides Spark's WindowGroupLimit map-side
+# pruning (each partition forwards at most K rows to the single ordering
+# partition), the same shape search_topk pins.
+
+DSIR_BUCKETS = 64
+DSIR_SCALE = 1_000_000
+DSIR_K = 50
+_DSIR_TARGET = ("substr(md5(concat('dsir|', CAST(doc_id AS STRING))), 1, 1)"
+                " IN ('0', '1', '2', '3')")
+
+
+def dsir_select(spark: SparkSession, sf_dir: str,
+                k: int = DSIR_K) -> DataFrame:
+    """Top-k candidate documents by hashed-unigram importance weight
+    (average per-token bucket weight, doc_id tiebreak)."""
+    b_expr = f"({md5_prefix_int_expr('tok')} % {DSIR_BUCKETS})"
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .withColumn("is_target", F.expr(_DSIR_TARGET))
+    )
+    dbc = (
+        docs.select("doc_id", "is_target",
+                    F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "is_target", F.expr(b_expr).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint())
+    w = (
+        dbc.groupBy("b")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_target"), F.col("c"))),
+                       F.lit(0)).alias("t_b"),
+            F.coalesce(F.sum(F.when(~F.col("is_target"), F.col("c"))),
+                       F.lit(0)).alias("r_b"))
+        .select("b", F.expr(
+            f"((t_b + 1) * CAST({DSIR_SCALE} AS BIGINT)) div (r_b + 1)")
+            .alias("w")))
+    scored = (
+        dbc.filter(~F.col("is_target"))
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("score"),
+             F.sum("c").cast("long").alias("n_tokens"))
+        .withColumn("avg_weight",
+                    F.expr("score div n_tokens").cast("long")))
+    # global top-k via orderBy().limit(k) -> TakeOrderedAndProject: every
+    # partition forwards at most k rows.  A global row_number window would
+    # funnel ALL candidates into one partition -- Spark 4.1's
+    # InferWindowGroupLimit only prunes PARTITIONED windows, so the usual
+    # rank<=k idiom silently loses its map-side pruning here (verified on
+    # a minimal plan).  The rank window then runs over k rows only.
+    win = Window.orderBy(F.desc("avg_weight"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("avg_weight"), F.asc("doc_id")).limit(k)
+        .withColumn("sel_rank", F.row_number().over(win).cast("long"))
+        .select("sel_rank", "doc_id", "n_tokens", "score", "avg_weight")
+        .orderBy("sel_rank")
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, {_DSIR_TARGET} AS is_target
+  FROM t WHERE len(toks) >= 1
+), p AS (
+  SELECT doc_id, is_target, unnest(toks) AS tok FROM d
+), dbc AS (
+  SELECT doc_id, is_target,
+         ({md5_prefix_int_sql('tok')} % {DSIR_BUCKETS}) AS b,
+         count(*) AS c
+  FROM p GROUP BY doc_id, is_target, b
+), wb AS (
+  SELECT b,
+         coalesce(sum(CASE WHEN is_target THEN c END), 0) AS t_b,
+         coalesce(sum(CASE WHEN NOT is_target THEN c END), 0) AS r_b
+  FROM dbc GROUP BY b
+), w AS (
+  SELECT b, ((t_b + 1) * {DSIR_SCALE}) // (r_b + 1) AS w FROM wb
+), s AS (
+  SELECT dbc.doc_id,
+         CAST(sum(dbc.c * w.w) AS BIGINT) AS score,
+         CAST(sum(dbc.c) AS BIGINT) AS n_tokens
+  FROM dbc JOIN w ON dbc.b = w.b
+  WHERE NOT dbc.is_target
+  GROUP BY dbc.doc_id
+)
+SELECT sel_rank, doc_id, n_tokens, score, avg_weight
+FROM (
+  SELECT doc_id, n_tokens, score,
+         CAST(score // n_tokens AS BIGINT) AS avg_weight,
+         CAST(row_number() OVER (
+           ORDER BY score // n_tokens DESC, doc_id ASC) AS BIGINT)
+           AS sel_rank
+  FROM s
+)
+WHERE sel_rank <= {DSIR_K}
+ORDER BY sel_rank
+"""

@@ -22,11 +22,13 @@ from readability_spark.ops.curation import (
     DECON_FLAG_FRAC,
     DECON_N,
     DECONTAMINATE_SQL,
+    DSIR_SELECT_SQL,
     PII_EMAIL,
     PII_IPV4,
     PII_PHONE,
     PII_REDACT_SQL,
     decontaminate,
+    dsir_select,
     pii_redact,
 )
 
@@ -190,3 +192,72 @@ def test_decontaminate_hand_values(spark, corpus):
     assert got[2]["n_contaminated"] == 1
     # doc 1 is clean → not flagged
     assert (got[1]["n_contaminated"], got[1]["flagged"]) == (0, 0)
+
+
+# --- dsir_select (importance resampling, integer rank form) --------------------
+
+
+def _dsir_ref(docs, B=64, SCALE=1_000_000, K=50):
+    from collections import Counter
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    def is_target(i):
+        return hashlib.md5(f"dsir|{i}".encode()).hexdigest()[0] in "0123"
+
+    t_cnt, r_cnt, per_doc = Counter(), Counter(), {}
+    for i, text, _ in docs:
+        toks = text.lower().split()
+        if not toks:
+            continue
+        c = Counter(bucket(t) for t in toks)
+        per_doc[i] = (is_target(i), c)
+        for b, n in c.items():
+            (t_cnt if is_target(i) else r_cnt)[b] += n
+    w = {b: ((t_cnt[b] + 1) * SCALE) // (r_cnt[b] + 1)
+         for b in set(t_cnt) | set(r_cnt)}
+    rows = []
+    for i, (tgt, c) in sorted(per_doc.items()):
+        if tgt:
+            continue
+        score = sum(n * w[b] for b, n in c.items())
+        ntok = sum(c.values())
+        rows.append((i, ntok, score, score // ntok))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return [(rank + 1, *r) for rank, r in enumerate(rows[:K])]
+
+
+def test_dsir_select_three_way_and_ordering(spark, tmp_path):
+    """A candidate written in the target domain's vocabulary must outrank
+    one written in vocabulary the targets never use (its buckets carry the
+    +1-smoothed floor weights), and all three engines must agree exactly.
+    """
+    target_ids = [i for i in range(40)
+                  if hashlib.md5(f"dsir|{i}".encode()).hexdigest()[0]
+                  in "0123"]
+    cand_ids = [i for i in range(40) if i not in target_ids][:6]
+    assert len(target_ids) >= 3
+    tvocab = "amber basalt cedar dune ember flint"
+    docs = [(i, tvocab, "en") for i in target_ids[:3]]
+    docs.append((cand_ids[0], tvocab, "en"))            # in-domain cand
+    docs.append((cand_ids[1], "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6", "en"))
+    docs.append((cand_ids[2], "amber basalt zzq7 zzq8 zzq9 zzq10", "fr"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = [tuple(r) for r in dsir_select(spark, d).collect()]
+    want = _dsir_ref(docs)
+    assert got == want
+    rank = {r[1]: r[0] for r in got}
+    # full in-domain < half in-domain < out-of-domain
+    assert rank[cand_ids[0]] < rank[cand_ids[2]] < rank[cand_ids[1]]
+    # target docs are never selected
+    assert not set(rank) & set(target_ids)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    oracle = [tuple(r) for r in con.execute(DSIR_SELECT_SQL).fetchall()]
+    assert oracle == want

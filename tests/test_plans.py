@@ -367,3 +367,22 @@ def test_repeated_substr_gram_text_stays_in_row(spark):
             r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
             r"Arguments: ([^\n]*)", plan):
         assert "text#" not in inp and "toks#" not in inp, (inp, args)
+
+
+def test_dsir_select_takeordered_topk(spark):
+    """DSIR selection at 100 TB: the global top-k must compile to
+    TakeOrderedAndProject (each partition forwards at most k rows), NOT a
+    global row_number window over all candidates — Spark 4.1's
+    InferWindowGroupLimit only prunes PARTITIONED windows, so the usual
+    rank<=k idiom loses its map-side pruning on a global ordering.  The
+    one Window node left ranks the k surviving rows.  The bucket-count
+    artifact is checkpointed once for its two consumers (weight table +
+    scoring); the weight table is broadcast."""
+    from readability_spark.ops.curation import dsir_select
+
+    plan = plan_of(dsir_select(spark, SF))
+    assert nodes(plan, "TakeOrderedAndProject") == 1, plan
+    assert nodes(plan, "Window") == 1, plan
+    assert nodes(plan, "CartesianProduct") == 0, plan
+    assert nodes(plan, "Scan parquet") == 0, plan     # checkpoint reuse
+    assert nodes(plan, "BroadcastHashJoin") == 1, plan
