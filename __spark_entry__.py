@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus scrubbing: PII redaction + benchmark decontamination
         "pii_redact": curation.pii_redact,
         "decontaminate": curation.decontaminate,
+        # the 100 TB broadcast shape: Bloom bits instead of gram strings
+        "decontaminate_bloom": curation.decontaminate_bloom,
         # DSIR-style importance resampling (integer rank form)
         "dsir_select": curation.dsir_select,
         # iterative link-graph analytics (fixed-point integer PageRank)
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": quality.TOP_TERMS_SQL,
         "pii_redact": curation.PII_REDACT_SQL,
         "decontaminate": curation.DECONTAMINATE_SQL,
+        "decontaminate_bloom": curation.DECONTAMINATE_BLOOM_SQL,
         "dsir_select": curation.DSIR_SELECT_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,

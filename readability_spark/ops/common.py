@@ -55,19 +55,22 @@ SQL_TOKENS = ("list_filter(regexp_split_to_array(lower(trim({col})), "
 
 # --- md5-derived integers -----------------------------------------------------
 
-def md5_prefix_int_expr(col: str, nhex: int = 8) -> str:
-    """Spark SQL: first ``nhex`` hex digits of md5(col) as a bigint.
+def md5_prefix_int_expr(col: str, nhex: int = 8, start: int = 1) -> str:
+    """Spark SQL: ``nhex`` hex digits of md5(col) from 1-based offset
+    ``start`` as a bigint.
 
     Written with instr() arithmetic (not conv()) so the DuckDB mirror is
-    literally the same expression.
+    literally the same expression.  Disjoint ``start`` offsets over the
+    32-digit md5 give independent-enough integers for multi-hash schemes
+    (Bloom positions, banded signatures) without a second hash invocation.
     """
     terms = " + ".join(
-        f"(instr('{HEX}', substr(md5({col}), {k}, 1)) - 1) * "
-        f"CAST({16 ** (nhex - k)} AS BIGINT)"
-        for k in range(1, nhex + 1))
+        f"(instr('{HEX}', substr(md5({col}), {start + j}, 1)) - 1) * "
+        f"CAST({16 ** (nhex - 1 - j)} AS BIGINT)"
+        for j in range(nhex))
     return f"({terms})"
 
 
-def md5_prefix_int_sql(col: str, nhex: int = 8) -> str:
+def md5_prefix_int_sql(col: str, nhex: int = 8, start: int = 1) -> str:
     """DuckDB mirror of md5_prefix_int_expr (identical by construction)."""
-    return md5_prefix_int_expr(col, nhex)
+    return md5_prefix_int_expr(col, nhex, start)

@@ -132,15 +132,14 @@ _BENCH_PRED = ("substr(md5(concat('bench|', CAST(doc_id AS STRING))), 1, 1)"
 DECON_FLAG_FRAC = 0.2
 
 
-def decontaminate(spark: SparkSession, sf_dir: str,
-                  n: int = DECON_N) -> DataFrame:
-    """Per-candidate-document benchmark n-gram overlap + flag.
+def _gram_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """documents → (doc_id, is_bench, grams) with in-row n-gram arrays.
 
-    ``n_contaminated`` counts gram POSITIONS (not distinct grams) whose
-    gram appears anywhere in the benchmark set — the fraction of the
-    document covered by benchmark text, which is the filter criterion.
+    Shared gram builder for the exact and Bloom decontamination legs —
+    identical column semantics, so the Bloom variant's maybe-set is a
+    provable superset of the exact hit set.
     """
-    docs = (
+    return (
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens_col("text").alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
@@ -163,6 +162,17 @@ def decontaminate(spark: SparkSession, sf_dir: str,
             f"sequence(1, n_tokens - {n} + 1), array()), "
             f"i -> array_join(slice(toks, i, {n}), ' '))"))
     )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  n: int = DECON_N) -> DataFrame:
+    """Per-candidate-document benchmark n-gram overlap + flag.
+
+    ``n_contaminated`` counts gram POSITIONS (not distinct grams) whose
+    gram appears anywhere in the benchmark set — the fraction of the
+    document covered by benchmark text, which is the filter criterion.
+    """
+    docs = _gram_docs(spark, sf_dir, n)
     bench = (docs.filter("is_bench")
              .select(F.explode("grams").alias("gram")).distinct()
              .withColumn("hit", F.lit(1)))
@@ -232,6 +242,146 @@ ORDER BY doc_id
 
 
 DECONTAMINATE_SQL = _decon_sql()
+
+# --- Bloom-filter decontamination (the 100 TB broadcast shape) -----------------
+#
+# decontaminate's own scale note: at real scale you swap the broadcast of
+# the benchmark GRAM STRINGS for a Bloom filter over them — the broadcast
+# shrinks from (n_grams × avg gram bytes) strings to at most
+# min(BLOOM_K × n_grams, BLOOM_M) distinct int32 bit positions, and the
+# probe side never materializes a gram-string join key hash table.  This
+# query IS that swap, exactly oracled: positions are md5-derived (three
+# disjoint 8-hex-digit slices of ONE md5 per gram, mod BLOOM_M), so both
+# engines set and probe identical bits.  Classic Bloom guarantee holds by
+# construction: no false negatives (every exact hit probes k set bits), a
+# measurable false-positive overcount — n_maybe_contaminated ≥ the exact
+# query's n_contaminated per doc, pinned in tests.
+#
+# Scale notes (100 TB): the bits table is built once from the benchmark
+# leg (distinct over ≤ 3×|bench grams| ints — map-side partials, tiny
+# exchange) and broadcast three times as an int-keyed hash relation; the
+# candidate leg computes all three positions IN-ROW (codegen md5 + instr
+# arithmetic), takes three broadcast left joins, and the only real
+# exchange carries partially-aggregated (doc_id, counts) rows — the same
+# single-shuffle shape as exact decontaminate with a much smaller
+# broadcast.  FP rate is tunable via BLOOM_M (m/n ≈ 64 bits/gram at the
+# gate config → FP ≈ (1-e^(-kn/m))^k ≈ 1e-4).
+
+BLOOM_M = 65536
+BLOOM_K = 3
+_BLOOM_POS = [  # disjoint md5 hex slices → k "independent" hash positions
+    (lambda col, j=j: f"({md5_prefix_int_expr(col, 8, 1 + 8 * j)}"
+                      f" % {BLOOM_M})")
+    for j in range(BLOOM_K)
+]
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str,
+                        n: int = DECON_N) -> DataFrame:
+    """Bloom-filter benchmark-overlap screen: per candidate document, the
+    count of gram positions whose BLOOM_K md5-derived bits are ALL set in
+    the filter built from the benchmark grams (superset of the exact
+    contaminated count), plus the flag at the same threshold."""
+    docs = _gram_docs(spark, sf_dir, n)
+    # materialized ONCE: the bits table is broadcast BLOOM_K times, and
+    # without the checkpoint each broadcast replays the benchmark scan +
+    # gram distinct + position distinct (observed: 3x scans/exchanges)
+    bits = (
+        docs.filter("is_bench")
+        .select(F.explode("grams").alias("gram")).distinct()
+        .select(F.explode(F.expr(
+            "array(" + ", ".join(p("gram") for p in _BLOOM_POS) + ")"))
+            .alias("pos"))
+        .distinct()
+        .withColumn("bit", F.lit(1))
+        .localCheckpoint())
+    cand = (
+        docs.filter("NOT is_bench")
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", *[
+            F.expr(p("gram")).alias(f"p{j}")
+            for j, p in enumerate(_BLOOM_POS)]))
+    for j in range(BLOOM_K):
+        b = bits.withColumnRenamed("pos", f"p{j}") \
+                .withColumnRenamed("bit", f"b{j}")
+        cand = cand.join(F.broadcast(b), f"p{j}", "left")
+    maybe = " AND ".join(f"b{j} IS NOT NULL" for j in range(BLOOM_K))
+    return (
+        cand
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.expr(f"CASE WHEN {maybe} THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_maybe_contaminated"))
+        .select(
+            "doc_id", "n_grams", "n_maybe_contaminated",
+            F.round(F.col("n_maybe_contaminated") * 1.0 / F.col("n_grams"),
+                    6).alias("bloom_frac"))
+        .withColumn(
+            "flagged",
+            (F.col("bloom_frac") >= DECON_FLAG_FRAC).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _decon_bloom_sql(n: int = DECON_N) -> str:
+    gram = "concat(" + ", ' ', ".join(
+        "tok" if j == 0 else f"t{j}" for j in range(n)) + ")"
+    leads = ",\n         ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{j}"
+        for j in range(1, n))
+    pos_list = ", ".join(p("gram") for p in _BLOOM_POS)
+    probes = ",\n         ".join(
+        p("gram") + f" AS p{j}" for j, p in enumerate(_BLOOM_POS))
+    joins = "\n  ".join(
+        f"LEFT JOIN bits bi{j} ON c.p{j} = bi{j}.pos"
+        for j in range(BLOOM_K))
+    maybe = " AND ".join(f"bi{j}.pos IS NOT NULL" for j in range(BLOOM_K))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         {_BENCH_PRED} AS is_bench
+  FROM t WHERE len(toks) >= {n}
+), p AS (
+  SELECT doc_id, is_bench, toks[i] AS tok, i - 1 AS pos
+  FROM (SELECT doc_id, is_bench, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM d)
+), g AS (
+  SELECT doc_id, is_bench, pos, tok,
+         {leads}
+  FROM p
+), grams AS MATERIALIZED (
+  SELECT doc_id, is_bench, {gram} AS gram
+  FROM g WHERE t{n - 1} IS NOT NULL
+), bits AS MATERIALIZED (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos
+  FROM (SELECT DISTINCT gram FROM grams WHERE is_bench)
+), c AS (
+  SELECT doc_id,
+         {probes}
+  FROM grams WHERE NOT is_bench
+), agg AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN {maybe} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_maybe_contaminated
+  FROM c
+  {joins}
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_maybe_contaminated,
+       round(n_maybe_contaminated * 1.0 / n_grams, 6) AS bloom_frac,
+       CAST(CASE WHEN round(n_maybe_contaminated * 1.0 / n_grams, 6)
+                      >= {DECON_FLAG_FRAC} THEN 1 ELSE 0 END AS INT)
+         AS flagged
+FROM agg
+ORDER BY doc_id
+"""
+
+
+DECONTAMINATE_BLOOM_SQL = _decon_bloom_sql()
 
 # --- DSIR-style importance resampling -----------------------------------------
 #

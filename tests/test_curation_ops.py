@@ -261,3 +261,82 @@ def test_dsir_select_three_way_and_ordering(spark, tmp_path):
                 f"read_parquet('{d}/documents.parquet/*.parquet')")
     oracle = [tuple(r) for r in con.execute(DSIR_SELECT_SQL).fetchall()]
     assert oracle == want
+
+
+# --- decontaminate_bloom (the 100 TB broadcast shape) --------------------------
+
+
+def _bloom_positions(gram, M, K):
+    h = hashlib.md5(gram.encode()).hexdigest()
+    return [int(h[8 * j:8 * j + 8], 16) % M for j in range(K)]
+
+
+def _bloom_ref(docs, n=DECON_N):
+    from readability_spark.ops.curation import BLOOM_K, BLOOM_M
+    toks = {i: t.lower().split() for i, t, _ in docs}
+    bits = set()
+    for i, tk in toks.items():
+        if _is_bench(i) and len(tk) >= n:
+            for j in range(len(tk) - n + 1):
+                bits.update(_bloom_positions(
+                    " ".join(tk[j:j + n]), BLOOM_M, BLOOM_K))
+    out = {}
+    for i, tk in toks.items():
+        if _is_bench(i) or len(tk) < n:
+            continue
+        grams = [" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)]
+        c = sum(1 for g in grams
+                if all(p in bits
+                       for p in _bloom_positions(g, BLOOM_M, BLOOM_K)))
+        frac = round(c / len(grams), 6)
+        out[i] = {"n_grams": len(grams), "n_maybe_contaminated": c,
+                  "bloom_frac": frac,
+                  "flagged": int(frac >= DECON_FLAG_FRAC)}
+    return out
+
+
+def test_decontaminate_bloom_three_way(spark, corpus):
+    from readability_spark.ops.curation import (DECONTAMINATE_BLOOM_SQL,
+                                                decontaminate_bloom)
+    d, con = corpus
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate_bloom(spark, d).collect()}
+    want = _bloom_ref(DOCS)
+    assert set(got) == set(want)
+    for doc_id, exp in want.items():
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+    oracle = con.execute(DECONTAMINATE_BLOOM_SQL).df()
+    assert len(oracle) == len(want)
+    for _, row in oracle.iterrows():
+        exp = want[row["doc_id"]]
+        for k in exp:
+            assert row[k] == pytest.approx(exp[k]), (row["doc_id"], k)
+
+
+def test_decontaminate_bloom_no_false_negatives(spark, corpus):
+    # Bloom guarantee: every exactly-contaminated gram position probes k
+    # set bits, so the maybe-count is a per-document superset of the exact
+    # count (false positives allowed, false negatives impossible).
+    from readability_spark.ops.curation import decontaminate_bloom
+    d, _ = corpus
+    exact = {r["doc_id"]: r["n_contaminated"]
+             for r in decontaminate(spark, d).collect()}
+    bloom = {r["doc_id"]: r["n_maybe_contaminated"]
+             for r in decontaminate_bloom(spark, d).collect()}
+    assert set(exact) == set(bloom)
+    for doc_id in exact:
+        assert bloom[doc_id] >= exact[doc_id], doc_id
+    # the verbatim bench copy (doc 3) is fully flagged by the filter too
+    assert bloom[3] == exact[3] == 3
+
+
+def test_bloom_positions_are_disjoint_md5_slices():
+    # the k positions come from non-overlapping 8-hex-digit windows of one
+    # md5 — k md5 calls collapse to one per gram in both engines, and the
+    # slices stay inside the 32-digit digest
+    from readability_spark.ops.curation import BLOOM_K, BLOOM_M
+    assert 8 * BLOOM_K <= 32
+    assert BLOOM_M & (BLOOM_M - 1) == 0   # power of two keeps % cheap
+    ps = _bloom_positions("alpha beta gamma", BLOOM_M, BLOOM_K)
+    assert len(ps) == BLOOM_K and all(0 <= p < BLOOM_M for p in ps)

@@ -386,3 +386,24 @@ def test_dsir_select_takeordered_topk(spark):
     assert nodes(plan, "CartesianProduct") == 0, plan
     assert nodes(plan, "Scan parquet") == 0, plan     # checkpoint reuse
     assert nodes(plan, "BroadcastHashJoin") == 1, plan
+
+
+def test_decontaminate_bloom_single_scan_checkpointed_bits(spark):
+    """The Bloom variant of decontaminate is the 100 TB broadcast shape:
+    the bit-position table is materialized ONCE (localCheckpoint) and
+    broadcast BLOOM_K times as an int-keyed relation — without it each
+    broadcast replays the benchmark scan + two distincts (observed 3x).
+    The corpus-sized candidate leg is a single pruned scan whose only
+    hash exchange carries per-doc aggregates; gram strings never shuffle
+    and never enter a join key."""
+    from readability_spark.ops.curation import BLOOM_K, decontaminate_bloom
+
+    plan = plan_of(decontaminate_bloom(spark, SF))
+    assert nodes(plan, "BroadcastHashJoin") == BLOOM_K, plan
+    assert nodes(plan, "SortMergeJoin") == 0, plan
+    assert nodes(plan, "Scan parquet") == 1, plan        # candidate leg only
+    assert nodes(plan, "Scan ExistingRDD") == BLOOM_K, plan  # checkpointed bits
+    assert nodes(plan, "Exchange") == 2, plan            # doc agg + sort
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys and all("doc_id" in k for k in keys), keys
+    assert "gram" not in " ".join(keys), keys
