@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import curation, dedup, graph, multimodal
+    from readability_spark.ops import curation, dedup, graph, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": curation.decontaminate_bloom,
         # DSIR-style importance resampling (integer rank form)
         "dsir_select": curation.dsir_select,
+        # CCNet-style bigram-LM perplexity terciles (integer surprise)
+        "lm_score": lm.lm_score,
         # iterative link-graph analytics (fixed-point integer PageRank)
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
@@ -130,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import curation, dedup, graph, multimodal
+    from readability_spark.ops import curation, dedup, graph, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -187,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.DECONTAMINATE_SQL,
         "decontaminate_bloom": curation.DECONTAMINATE_BLOOM_SQL,
         "dsir_select": curation.DSIR_SELECT_SQL,
+        "lm_score": lm.LM_SCORE_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
