@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import curation, dedup, graph, lm, multimodal
+    from readability_spark.ops import bpe, curation, dedup, graph, lm
+    from readability_spark.ops import multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -118,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": curation.dsir_select,
         # CCNet-style bigram-LM perplexity terciles (integer surprise)
         "lm_score": lm.lm_score,
+        # BPE tokenizer-vocabulary induction (merge table over word freqs)
+        "bpe_merges": bpe.bpe_merges,
         # iterative link-graph analytics (fixed-point integer PageRank)
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
@@ -132,7 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import curation, dedup, graph, lm, multimodal
+    from readability_spark.ops import bpe, curation, dedup, graph, lm
+    from readability_spark.ops import multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -190,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": curation.DECONTAMINATE_BLOOM_SQL,
         "dsir_select": curation.DSIR_SELECT_SQL,
         "lm_score": lm.LM_SCORE_SQL,
+        "bpe_merges": bpe.BPE_MERGES_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
