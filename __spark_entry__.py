@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": lm.lm_score,
         # BPE tokenizer-vocabulary induction (merge table over word freqs)
         "bpe_merges": bpe.bpe_merges,
+        # corpus tokenization under the learned merges (token budgets)
+        "bpe_encode": bpe.bpe_encode,
         # iterative link-graph analytics (fixed-point integer PageRank)
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": curation.DSIR_SELECT_SQL,
         "lm_score": lm.LM_SCORE_SQL,
         "bpe_merges": bpe.BPE_MERGES_SQL,
+        "bpe_encode": bpe.BPE_ENCODE_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

@@ -74,9 +74,10 @@ OPS_QUERIES = [
     "dedup_near", "dedup_clusters", "dedup_embedding", "ann_cosine_topk",
     "ann_bandor_topk", "ann_ivf_topk", "topk_per_group",
     "score_propagation", "sessionize", "token_counts", "lang_id",
-    "pii_redact", "decontaminate", "link_pagerank", "search_topk",
-    "pack_sequences", "length_quantiles", "semdedup", "line_dedup",
-    "repeated_substr", "dsir_select",
+    "pii_redact", "decontaminate", "decontaminate_bloom", "link_pagerank",
+    "search_topk", "pack_sequences", "length_quantiles", "semdedup",
+    "line_dedup", "repeated_substr", "dsir_select", "lm_score",
+    "bpe_merges", "bpe_encode",
 ]
 
 

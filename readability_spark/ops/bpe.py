@@ -51,17 +51,15 @@ from .common import SQL_TOKENS, table, tokens_col
 BPE_ROUNDS = 8
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str,
-               rounds: int = BPE_ROUNDS) -> DataFrame:
-    """Learn ``rounds`` BPE merges over the documents word-frequency
-    table; returns the merge table (merge_round, pair, merged,
-    pair_count) in round order."""
+def _train(spark: SparkSession, sf_dir: str, rounds: int):
+    """Run the BPE training loop; returns (merge-row DataFrames, final
+    word table (tok, wc, ws) after all merges)."""
     words = (
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens_col("text")).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("wc"))
         # two-space-separated character string: "  h  i  "
-        .select("wc", F.expr(
+        .select("tok", "wc", F.expr(
             "concat('  ', array_join(transform(sequence(1, length(tok)), "
             "i -> substr(tok, i, 1)), '  '), '  ')").alias("ws"))
         .localCheckpoint())
@@ -90,10 +88,19 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
         merges.append(best)
         words = (
             words.crossJoin(F.broadcast(best.select("a", "b")))
-            .select("wc", F.expr(
+            .select("tok", "wc", F.expr(
                 "replace(ws, concat(' ', a, '  ', b, ' '), "
                 "concat(' ', a, b, ' '))").alias("ws"))
             .localCheckpoint())
+    return merges, words
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Learn ``rounds`` BPE merges over the documents word-frequency
+    table; returns the merge table (merge_round, pair, merged,
+    pair_count) in round order."""
+    merges, _ = _train(spark, sf_dir, rounds)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -107,10 +114,46 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     )
 
 
-def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
+def bpe_encode(spark: SparkSession, sf_dir: str,
+               rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Tokenize the corpus under the learned merges: per document, word
+    count, subword-token count, character count, and the chars-per-
+    subword compression the vocabulary buys.
+
+    The word table after training carries each distinct word's final
+    symbol segmentation, so encoding is a lookup, not a re-merge: the
+    corpus-sized leg explodes tokens and joins the (tok → n_subwords)
+    table in place (broadcast at gate scale — the vocab table is the
+    small side by construction; AQE swaps to shuffle-hash if a real
+    vocabulary outgrows it), then aggregates per doc — the lm_score
+    shape: no corpus-sized exchange ever carries token text.
+    """
+    _, words = _train(spark, sf_dir, rounds)
+    vocab = words.select(
+        "tok",
+        F.expr("size(filter(split(ws, '  '), x -> x <> ''))")
+        .cast("long").alias("n_sub"),
+        F.length("tok").cast("long").alias("n_chr"))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .join(vocab, "tok")    # inner: vocab covers every corpus token
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_words"),
+             F.sum("n_sub").cast("long").alias("n_subwords"),
+             F.sum("n_chr").cast("long").alias("n_chars"))
+        .select(
+            "doc_id", "n_words", "n_subwords", "n_chars",
+            F.round(F.col("n_chars") * 1.0 / F.col("n_subwords"), 6)
+            .alias("chars_per_subword"))
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_train_ctes(rounds: int = BPE_ROUNDS) -> str:
     parts = [f"""
 WITH w0 AS MATERIALIZED (
-  SELECT CAST(count(*) AS BIGINT) AS wc,
+  SELECT tok, CAST(count(*) AS BIGINT) AS wc,
          concat('  ', array_to_string(list_transform(
              generate_series(1, len(tok)), i -> substr(tok, i, 1)),
              '  '), '  ') AS ws
@@ -138,15 +181,44 @@ WITH w0 AS MATERIALIZED (
          c AS pair_count
   FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1
 ), w{r} AS MATERIALIZED (
-  SELECT wc, replace(ws, concat(' ', b{r}.a, '  ', b{r}.b, ' '),
-                     concat(' ', b{r}.a, b{r}.b, ' ')) AS ws
+  SELECT tok, wc, replace(ws, concat(' ', b{r}.a, '  ', b{r}.b, ' '),
+                          concat(' ', b{r}.a, b{r}.b, ' ')) AS ws
   FROM w{r - 1} CROSS JOIN b{r}
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT merge_round, concat(a, ' ', b) AS pair,"
         f" concat(a, b) AS merged, pair_count FROM b{r}"
         for r in range(1, rounds + 1))
-    return "".join(parts) + f"\n{union}\nORDER BY merge_round\n"
+    return _bpe_train_ctes(rounds) + f"\n{union}\nORDER BY merge_round\n"
+
+
+def _bpe_encode_sql(rounds: int = BPE_ROUNDS) -> str:
+    return _bpe_train_ctes(rounds) + f""", vocab AS (
+  SELECT tok,
+         CAST(len(list_filter(string_split(ws, '  '), x -> x <> ''))
+              AS BIGINT) AS n_sub,
+         CAST(len(tok) AS BIGINT) AS n_chr
+  FROM w{rounds}
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         CAST(sum(n_chr) AS BIGINT) AS n_chars
+  FROM (SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS tok
+        FROM documents) t
+  JOIN vocab USING (tok)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_subwords, n_chars,
+       round(n_chars * 1.0 / n_subwords, 6) AS chars_per_subword
+FROM agg
+ORDER BY doc_id
+"""
 
 
 BPE_MERGES_SQL = _bpe_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()

@@ -132,3 +132,68 @@ def test_bpe_merge_encoding_replace_is_greedy():
     ws = "  a  b  a  b  a  b  "
     assert ws.replace(" a  b ", " ab ") == "  ab  ab  ab  "
     assert "  a  a  a  ".replace(" a  a ", " aa ") == "  aa  a  "
+
+
+# --- bpe_encode (tokenize under the learned vocab) -----------------------------
+
+
+def _encode_ref(docs, rounds=8):
+    """Apply the reference trainer's merges in order, then count."""
+    merges = _bpe_ref(docs, rounds)
+    out = {}
+    for doc_id, text, _ in docs:
+        toks = text.lower().split()
+        if not toks:
+            continue
+        n_sub = 0
+        for w in toks:
+            syms = list(w)
+            for _, pair, merged, _ in merges:
+                a, b = pair.split(" ")
+                res, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            n_sub += len(syms)
+        n_chars = sum(len(w) for w in toks)
+        out[doc_id] = {
+            "n_words": len(toks), "n_subwords": n_sub, "n_chars": n_chars,
+            "chars_per_subword": round(n_chars / n_sub, 6)}
+    return out
+
+
+def test_bpe_encode_three_way(spark, corpus):
+    from readability_spark.ops.bpe import BPE_ENCODE_SQL, bpe_encode
+    d, con = corpus
+    got = {r["doc_id"]: r.asDict() for r in bpe_encode(spark, d).collect()}
+    want = _encode_ref(DOCS)
+    assert set(got) == set(want)
+    for doc_id, exp in want.items():
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+    oracle = con.execute(BPE_ENCODE_SQL).df()
+    assert len(oracle) == len(want)
+    for _, row in oracle.iterrows():
+        exp = want[row["doc_id"]]
+        for k in exp:
+            assert row[k] == pytest.approx(exp[k]), (row["doc_id"], k)
+
+
+def test_bpe_encode_compresses(spark, corpus):
+    # the point of the vocabulary: subword count sits strictly between
+    # word count (perfect fusion) and char count (no fusion), and the
+    # merges actually bought compression on the words they cover
+    from readability_spark.ops.bpe import bpe_encode
+    d, _ = corpus
+    got = {r["doc_id"]: r for r in bpe_encode(spark, d).collect()}
+    for doc_id, r in got.items():
+        assert r["n_words"] <= r["n_subwords"] <= r["n_chars"], doc_id
+    # doc 0 is all low/lower/lowest — the first two merges collapse
+    # every "low" prefix: 20 chars in 10 subwords
+    assert (got[0]["n_subwords"], got[0]["n_chars"]) == (10, 20)
