@@ -197,3 +197,31 @@ def test_bpe_encode_compresses(spark, corpus):
     # doc 0 is all low/lower/lowest — the first two merges collapse
     # every "low" prefix: 20 chars in 10 subwords
     assert (got[0]["n_subwords"], got[0]["n_chars"]) == (10, 20)
+
+
+def test_bpe_fuzz_oracle_vs_reference():
+    # randomized cross-check of the full semantic chain — tokenization,
+    # overlapping pair counts, (count DESC, pair ASC) tiebreak, and the
+    # double-space replace encoding — DuckDB oracle vs the pure-Python
+    # Sennrich trainer, over adversarially small alphabets (dense ties,
+    # long same-symbol runs).  Spark parity is covered by the fixture
+    # tests; this guards the oracle builder across input shapes.
+    import random
+
+    from readability_spark.ops.bpe import _bpe_sql
+
+    sql = _bpe_sql(4)
+    for trial in range(12):
+        rng = random.Random(trial)
+        docs = [
+            (i, " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))), "en")
+            for i in range(rng.randint(1, 6))]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+            "lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?,?)", docs)
+        got = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == _bpe_ref(docs, rounds=4), (trial, docs)
