@@ -40,8 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from readability_spark.ops import bpe, curation, dedup, graph, lm
-    from readability_spark.ops import multimodal
+    from readability_spark.ops import bpe, curation, dedup, funnel
+    from readability_spark.ops import graph, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe.bpe_merges,
         # corpus tokenization under the learned merges (token budgets)
         "bpe_encode": bpe.bpe_encode,
+        # the whole cleaning pass as one attrition report (capstone)
+        "curation_funnel": funnel.curation_funnel,
         # iterative link-graph analytics (fixed-point integer PageRank)
         "link_pagerank": graph.link_pagerank,
         # inverted-index retrieval (integer tf-idf top-k per probe query)
@@ -137,8 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from readability_spark.ops import bpe, curation, dedup, graph, lm
-    from readability_spark.ops import multimodal
+    from readability_spark.ops import bpe, curation, dedup, funnel
+    from readability_spark.ops import graph, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": lm.LM_SCORE_SQL,
         "bpe_merges": bpe.BPE_MERGES_SQL,
         "bpe_encode": bpe.BPE_ENCODE_SQL,
+        "curation_funnel": funnel.CURATION_FUNNEL_SQL,
         "link_pagerank": graph.LINK_PAGERANK_SQL,
         "search_topk": retrieval.SEARCH_TOPK_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
