@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from readability_spark.ops import bpe, curation, dedup, funnel
-    from readability_spark.ops import graph, lm, multimodal
+    from readability_spark.ops import graph, incremental, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_near": dedup.near_dedup,
         "dedup_clusters": dedup.dedup_clusters,
+        # screen a new crawl batch against the ingested corpus's artifacts
+        "dedup_incremental": incremental.dedup_incremental,
         "dedup_embedding": similarity.embedding_near_dup,
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
@@ -140,7 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from readability_spark.ops import bpe, curation, dedup, funnel
-    from readability_spark.ops import graph, lm, multimodal
+    from readability_spark.ops import graph, incremental, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
     from readability_spark.ops import relational, retrieval, similarity
     from readability_spark.ops import stats, textstats
@@ -175,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "dedup_near": dedup.NEAR_DEDUP_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "dedup_incremental": incremental.DEDUP_INCREMENTAL_SQL,
         "dedup_embedding": similarity.EMBEDDING_DEDUP_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_topk": similarity.LSH_TOPK_SQL,

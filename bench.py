@@ -77,7 +77,7 @@ OPS_QUERIES = [
     "pii_redact", "decontaminate", "decontaminate_bloom", "link_pagerank",
     "search_topk", "pack_sequences", "length_quantiles", "semdedup",
     "line_dedup", "repeated_substr", "dsir_select", "lm_score",
-    "bpe_merges", "bpe_encode", "curation_funnel",
+    "bpe_merges", "bpe_encode", "curation_funnel", "dedup_incremental",
 ]
 
 
