@@ -149,3 +149,27 @@ def test_funnel_thresholds_are_integerized():
     assert 1 * FUNNEL_REP_PCT < 11
     assert 1 * 5 >= 5
     assert not (1 * 5 >= 6)
+
+
+def test_funnel_fuzz_oracle_vs_reference():
+    # randomized cross-check of the funnel oracle against the pure-
+    # Python reference: random doc counts/lengths over a small shared
+    # vocabulary exercise duplicate groups, both length-band edges, the
+    # integer repetition boundary, and graded contamination
+    import random
+
+    VOCAB = ["alpha", "beta", "gamma", "delta", "spam", "ham",
+             "red", "blue", "xx", "yy"]
+    for trial in range(10):
+        rng = random.Random(100 + trial)
+        docs = [(i, " ".join(rng.choice(VOCAB)
+                             for _ in range(rng.randint(1, 40))),
+                 rng.choice(["en", "fr"]))
+                for i in range(rng.randint(2, 12))]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?,?)", docs)
+        got = [tuple(r)
+               for r in con.execute(CURATION_FUNNEL_SQL).fetchall()]
+        assert got == _funnel_ref(docs), (trial, docs)

@@ -158,3 +158,31 @@ def test_lm_score_candidate_leg_never_shuffles_text(spark):
     assert all("doc_id" in k or "lang" in k
                for k in keys if "bg" not in k), keys
     assert len(re.findall(r"\n\(\d+\) SortMergeJoin\b", plan)) == 0, plan
+
+
+def test_lm_score_fuzz_oracle_vs_reference():
+    # randomized cross-check of the oracle builder against the pure-
+    # Python reference over a shared small vocabulary — dense bigram
+    # collisions, uneven lang strata (incl. 1-doc strata), and the
+    # <2-token drop all occur naturally across seeds
+    import random
+
+    VOCAB = ["alpha", "beta", "gamma", "delta", "spam", "ham",
+             "red", "blue", "xx", "yy"]
+    for trial in range(10):
+        rng = random.Random(100 + trial)
+        docs = [(i, " ".join(rng.choice(VOCAB)
+                             for _ in range(rng.randint(1, 40))),
+                 rng.choice(["en", "fr"]))
+                for i in range(rng.randint(2, 12))]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?,?)", docs)
+        want = _lm_ref(docs)
+        got = con.execute(LM_SCORE_SQL).df()
+        assert len(got) == len(want), trial
+        for _, row in got.iterrows():
+            exp = want[row["doc_id"]]
+            for k in exp:
+                assert row[k] == exp[k], (trial, row["doc_id"], k)
