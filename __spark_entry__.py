@@ -43,8 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from readability_spark.ops import bpe, curation, dedup, funnel
     from readability_spark.ops import graph, incremental, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
-    from readability_spark.ops import relational, retrieval, similarity
-    from readability_spark.ops import stats, textstats
+    from readability_spark.ops import relational, retrieval, serde
+    from readability_spark.ops import similarity, stats, textstats
 
     return {
         # extraction engine (pandas-UDF core) with closed-form SQL oracles
@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": stats.length_quantiles,
         # PDF leg of the extraction tier (text → PDF → text, exact)
         "pdf_extract": pdfsource.pdf_extract,
+        # CSV/JSON serde round-trip contract (in-row, scan-bound)
+        "serde_roundtrip": serde.serde_roundtrip,
     }
 
 
@@ -144,8 +146,8 @@ def oracle_sql() -> dict[str, str]:
     from readability_spark.ops import bpe, curation, dedup, funnel
     from readability_spark.ops import graph, incremental, lm, multimodal
     from readability_spark.ops import packing, pdfsource, quality
-    from readability_spark.ops import relational, retrieval, similarity
-    from readability_spark.ops import stats, textstats
+    from readability_spark.ops import relational, retrieval, serde
+    from readability_spark.ops import similarity, stats, textstats
 
     return {
         "extract_articles": relational.EXTRACT_ARTICLES_SQL,
@@ -209,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "length_quantiles": stats.LENGTH_QUANTILES_SQL,
         "pdf_extract": pdfsource.PDF_EXTRACT_SQL,
+        "serde_roundtrip": serde.SERDE_ROUNDTRIP_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "media_header_meta": multimodal.MEDIA_HEADER_META_SQL,
     }

@@ -78,6 +78,7 @@ OPS_QUERIES = [
     "search_topk", "pack_sequences", "length_quantiles", "semdedup",
     "line_dedup", "repeated_substr", "dsir_select", "lm_score",
     "bpe_merges", "bpe_encode", "curation_funnel", "dedup_incremental",
+    "serde_roundtrip",
 ]
 
 
