@@ -11,7 +11,12 @@ pre-training pipeline runs between curation and packing.
 
 Output: one row per merge round — (merge_round, pair, merged,
 pair_count) — the merge table verbatim, deterministic under the
-(count DESC, pair ASC) tiebreak.
+(count DESC, pair ASC) tiebreak.  If merges exhaust before ``rounds``
+(no adjacent pairs remain), training stops there: the merge table simply
+ends early, and encoding uses each word's pre-exhaustion segmentation —
+the word table never collapses (Spark: loop break on the empty argmax;
+oracle: a NOT EXISTS passthrough leg in each w{{r}} CTE — both pinned in
+tests/test_bpe.py).
 
 Cross-engine exactness rides one encoding trick: each word's symbol
 sequence is kept as a string with TWO-space separators and two-space
@@ -65,6 +70,9 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
         .localCheckpoint())
     merges = []
     for r in range(1, rounds + 1):
+        # (loop exits early below when the pair table is exhausted; the
+        # word table then keeps its pre-exhaustion segmentation instead of
+        # collapsing to empty through a crossJoin with an empty argmax)
         pairs = (
             words
             .withColumn("syms", F.expr("filter(split(ws, '  '), "
@@ -85,6 +93,11 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
                 F.expr("split_part(pr, '  ', 2)").alias("b"),
                 F.col("c").alias("pair_count"))
             .localCheckpoint())
+        if not best.take(1):
+            # merges exhausted before `rounds` (every word is a single
+            # symbol): stop — words stays at its final segmentation.  The
+            # 1-row take on a localCheckpointed argmax is O(1).
+            break
         merges.append(best)
         words = (
             words.crossJoin(F.broadcast(best.select("a", "b")))
@@ -101,6 +114,11 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     table; returns the merge table (merge_round, pair, merged,
     pair_count) in round order."""
     merges, _ = _train(spark, sf_dir, rounds)
+    if not merges:
+        # exhausted at round 1 (all single-character words): zero merges
+        return spark.createDataFrame(
+            [], "merge_round bigint, pair string, merged string, "
+                "pair_count bigint")
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -181,9 +199,15 @@ WITH w0 AS MATERIALIZED (
          c AS pair_count
   FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1
 ), w{r} AS MATERIALIZED (
+  -- exhaustion passthrough (mirrors the Spark loop break): when b{r} is
+  -- empty the cross-join leg yields nothing and the words keep their
+  -- pre-exhaustion segmentation instead of collapsing to an empty table
   SELECT tok, wc, replace(ws, concat(' ', b{r}.a, '  ', b{r}.b, ' '),
                           concat(' ', b{r}.a, b{r}.b, ' ')) AS ws
   FROM w{r - 1} CROSS JOIN b{r}
+  UNION ALL
+  SELECT tok, wc, ws FROM w{r - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM b{r})
 )""")
     return "".join(parts)
 

@@ -109,8 +109,13 @@ def test_bpe_overlap_semantics(spark, tmp_path):
 
 def test_bpe_exhaustion_is_mirrored(spark, tmp_path):
     # single-character words have no pairs: round 1 finds no argmax, the
-    # state empties, and BOTH engines return zero merge rows rather than
-    # erroring or padding
+    # loop stops, and BOTH engines return zero merge rows rather than
+    # erroring or padding — while ENCODE still returns every document at
+    # its (trivial) segmentation instead of collapsing to zero rows
+    # (the r6 ADVICE finding: the empty-argmax crossJoin used to empty
+    # the word table)
+    from readability_spark.ops.bpe import BPE_ENCODE_SQL, bpe_encode
+
     docs = [(0, "a b c a b", "en")]
     d = str(tmp_path)
     spark.createDataFrame(
@@ -122,6 +127,36 @@ def test_bpe_exhaustion_is_mirrored(spark, tmp_path):
                 f"read_parquet('{d}/documents.parquet/*.parquet')")
     assert con.execute(BPE_MERGES_SQL).fetchall() == []
     assert _bpe_ref(docs) == []
+    # encode under zero merges: each word is its characters
+    enc = bpe_encode(spark, d).collect()
+    assert [tuple(r) for r in enc] == [(0, 5, 5, 5, 1.0)]
+    assert ([tuple(r) for r in con.execute(BPE_ENCODE_SQL).fetchall()]
+            == [(0, 5, 5, 5, 1.0)])
+
+
+def test_bpe_mid_training_exhaustion_encode(spark, tmp_path):
+    # merges exhaust BETWEEN round 1 and `rounds`: "ab ab" learns (a, b)
+    # in round 1, then every word is a single symbol — rounds 2..8 find
+    # no pairs.  Both engines must keep the round-1 segmentation through
+    # the remaining rounds (Spark: loop break; oracle: the NOT EXISTS
+    # passthrough leg), so encode sees 2 words → 2 subwords → 4 chars.
+    from readability_spark.ops.bpe import BPE_ENCODE_SQL, bpe_encode
+
+    docs = [(0, "ab ab", "en")]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = [tuple(r) for r in bpe_merges(spark, d).collect()]
+    assert got == [(1, "a b", "ab", 2)] == _bpe_ref(docs)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    assert [tuple(r) for r in con.execute(BPE_MERGES_SQL).fetchall()] == got
+    want_enc = [(0, 2, 2, 4, 2.0)]
+    assert [tuple(r) for r in bpe_encode(spark, d).collect()] == want_enc
+    assert ([tuple(r) for r in con.execute(BPE_ENCODE_SQL).fetchall()]
+            == want_enc)
 
 
 def test_bpe_merge_encoding_replace_is_greedy():
