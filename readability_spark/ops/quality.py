@@ -145,21 +145,34 @@ CHUNK_TOKENS = 4
 def chunk_dedup(spark: SparkSession, sf_dir: str,
                 chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
     """Fraction of each document's token chunks that appear verbatim in at
-    least one OTHER document (md5 chunk identity, hash-only shuffle)."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col("text").alias("toks"))
-    p = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    c = (
-        p.groupBy("doc_id",
-                  F.floor(F.col("pos") / chunk_tokens).alias("cidx"))
-        .agg(
-            F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.tok), " ")).alias("h"),
-            F.count("*").alias("sz"))
-        .filter(F.col("sz") == chunk_tokens)
+    least one OTHER document (md5 chunk identity, hash-only shuffle).
+
+    Scale shape (100 TB): chunks are built IN-ROW (the line_dedup slice
+    pattern — one transform over the complete-chunk indices, md5 of the
+    token slice), so the chunk leg explodes to (doc_id, cidx, h) only.
+    The earlier posexplode → per-(doc, cidx) collect_list formulation
+    shuffled every token WITH its text on the doc-local key; this one
+    never puts token text on any exchange (plan-locked).  Same inferred-
+    predicate guard as repeated_substr: the if() keeps the descending-
+    sequence hazard off rows the length filter drops.
+    """
+    k = chunk_tokens
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= k)
     )
+    # complete chunks only (i in [0, n div k)) — the detection framing
+    # drops ragged tails, unlike line_dedup's rewrite framing
+    c = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(if(n_tokens >= {k}, "
+            f"sequence(0, n_tokens div {k} - 1), array()), "
+            f"i -> struct(i AS cidx, "
+            f"md5(array_join(slice(toks, i * {k} + 1, {k}), ' ')) AS h))"
+        )).alias("c")).select("doc_id", "c.cidx", "c.h")
     d = c.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
     return (
         c.join(d, "h")
@@ -177,18 +190,26 @@ def chunk_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
+# Oracle memory discipline (r6 VERDICT finding: the per-position unnest +
+# ORDER BY string_agg formulation OOM'd DuckDB-side under residual system
+# memory pressure): chunks are sliced in-row — k× fewer unnested rows, no
+# sort-heavy ordered aggregate — and `c` is MATERIALIZED because it is
+# referenced twice (d + the final join) and DuckDB inlines plain CTEs,
+# which would run the unnest twice.  Verified under an explicit 8 GB
+# memory_limit with a resident 12 g Spark JVM (tests/test_oracle_memory.py).
 CHUNK_DEDUP_SQL = f"""
 WITH t AS (
   SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents
-), p AS (
-  SELECT doc_id, toks[i] AS tok, i - 1 AS pos
-  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
-        FROM t)
-), c AS (
-  SELECT doc_id, pos // {CHUNK_TOKENS} AS cidx,
-         md5(string_agg(tok, ' ' ORDER BY pos)) AS h, count(*) AS sz
-  FROM p GROUP BY doc_id, pos // {CHUNK_TOKENS}
-  HAVING count(*) = {CHUNK_TOKENS}
+), dd AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+  WHERE len(toks) >= {CHUNK_TOKENS}
+), c AS MATERIALIZED (
+  SELECT doc_id, i AS cidx,
+         md5(array_to_string(toks[(i * {CHUNK_TOKENS} + 1):
+                                  ((i + 1) * {CHUNK_TOKENS})], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, n_tokens // {CHUNK_TOKENS})) AS i
+        FROM dd)
 ), d AS (
   SELECT h, count(DISTINCT doc_id) AS ndocs FROM c GROUP BY h
 )
@@ -399,7 +420,10 @@ WITH t AS (
 ), d AS (
   SELECT doc_id, toks, len(toks) AS n_tokens FROM t
   WHERE len(toks) >= {SUBSTR_K}
-), p AS (
+), p AS MATERIALIZED (
+  -- MATERIALIZED: referenced twice (dup + rp); plain-CTE inlining would
+  -- run the position unnest + window md5 twice (r6 VERDICT oracle-memory
+  -- finding; capped-memory pin in tests/test_oracle_memory.py)
   SELECT doc_id, i - 1 AS pos,
          md5(array_to_string(toks[i:(i + {SUBSTR_K} - 1)], ' ')) AS h
   FROM (SELECT doc_id, toks,

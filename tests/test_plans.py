@@ -267,18 +267,23 @@ def test_top_terms_broadcasts_vocabulary(spark):
 
 
 def test_chunk_dedup_hash_only_cross_doc_shuffle(spark):
-    """Chunks leave their document as md5 hashes only: the cross-document
-    ndocs aggregation and the membership join key on `h`, never on chunk
-    text, and the chunk build itself is a doc-local groupBy fed by one
-    pruned scan per branch (AQE reuses the build exchange at runtime)."""
+    """Chunks leave their document as md5 hashes only: chunk text is
+    hashed IN-ROW (slice + md5 inside one transform — the line_dedup
+    pattern; the old posexplode → doc-local collect_list formulation put
+    every token's TEXT on the exchange payload even though the keys were
+    clean).  No exchange may carry text/toks, in keys OR input."""
     from readability_spark.ops.quality import chunk_dedup
 
     plan = plan_of(chunk_dedup(spark, SF))
     assert "string_agg" not in plan
-    # every hashpartitioning exchange keys on doc/cidx or the md5 hash —
-    # no exchange moves raw tok/chunk-text columns
+    assert "collect_list" not in plan
     for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "tok" not in m, m
+    # the stronger lock: exchange INPUTS are hash/integer-only too
+    for inp, args in re.findall(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+            r"Arguments: ([^\n]*)", plan):
+        assert "text#" not in inp and "toks#" not in inp, (inp, args)
 
 
 def test_pii_redact_single_scan_no_shuffle_but_sort(spark):
