@@ -37,6 +37,32 @@ SEED = 42
 # pair ratios is a usable round comparable on this host; beyond it the
 # session extends itself (bounded) and reports the best contiguous window.
 SPREAD_TRUST = 3.0
+# probe-for-quiet (r7): BENCH_r06 was captured in a window whose controls
+# swung 591 → 4,264 docs/s and needed best-window adjudication.  Before the
+# official session starts, sample the mp control until two ADJACENT samples
+# agree within this factor (bounded attempts, short sleeps) — cheap
+# insurance that the session opens on a minute the host is actually quiet.
+QUIET_AGREE = 2.0
+
+
+def probe_quiet(cpus: int, max_probes: int, sleep_s: float) -> tuple[list[float], bool]:
+    """Sample the mp control until two adjacent samples agree within
+    QUIET_AGREE× (→ quiet=True) or the probe budget runs out (→ start
+    anyway, quiet=False — the session's own pair protocol + self-extension
+    still adjudicates).  Returns (samples, quiet)."""
+    from tools.scaling_bench import mp_control
+
+    samples: list[float] = []
+    for i in range(max(2, max_probes)):
+        c, _ = mp_control(cpus)
+        samples.append(c)
+        if len(samples) >= 2:
+            a, b = samples[-2], samples[-1]
+            if min(a, b) > 0 and max(a, b) / min(a, b) <= QUIET_AGREE:
+                return samples, True
+        if i < max_probes - 1 and sleep_s > 0:
+            time.sleep(sleep_s)
+    return samples, False
 
 
 def best_contiguous_window(ratios: list[float]) -> dict | None:
@@ -155,6 +181,17 @@ def main() -> None:
     from statistics import median
 
     from tools.scaling_bench import mp_control
+
+    if not extract_only:
+        # wait for a quiet window before the session opens (bounded; the
+        # probe samples are recorded but never join the session controls)
+        probes = int(os.environ.get("SPARK_GRAFT_BENCH_PROBES", "8"))
+        probe_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_SLEEP",
+                                           "20"))
+        p_samples, p_quiet = probe_quiet(CPUS, probes, probe_sleep)
+        extra["quiet_probe"] = {
+            "samples": [round(x, 1) for x in p_samples],
+            "quiet": p_quiet, "agree_bar": QUIET_AGREE}
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     pair_ratios: list[float] = []
