@@ -10,6 +10,18 @@ fail HERE first.  Cells compare at full precision (repr of the Python
 scalar), so a last-ulp float difference or an int-vs-float dtype drift is a
 FAIL, never masked by %.9g rounding.
 
+Host-pressure discipline (r7): on this shared-tenancy VM, a co-tenant
+spike can make even 16 KB allocations fail ("bad allocation") and stretch
+a 0.1 s DuckDB query to 35 s — observed killing DIFFERENT oracles on
+different runs (r6 review: chunk/line/repeated; r7: ann_ivf_sampled +
+line_dedup) while the box itself reported >120 GB free and a DuckDB-only
+sweep of all 64 oracles peaked at ~0 MB buffer usage.  The oracle SQL is
+not the problem; exposure time is.  Mitigations here: the connection is
+capped (8 GB, 8 threads, spill enabled) so DuckDB prefers eviction over
+fresh page-touches, and an OutOfMemoryException gets ONE retry on a fresh
+capped connection — a genuine memory bug fails twice, a pressure flake
+passes the retry and is logged as such.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -66,6 +78,24 @@ def norm_frame(pdf):
     return cols, rows
 
 
+def duck_connect(sf_dir):
+    """A capped, spill-enabled connection: small cross-section under
+    host memory pressure (see module docstring)."""
+    import tempfile
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("SET memory_limit='8GB'")
+    con.sql("SET threads=8")
+    con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckspill_')}'")
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main():
     import duckdb
     from pyspark.sql import SparkSession
@@ -84,11 +114,7 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"'{sf_dir}/{t}.parquet'")
+    con = duck_connect(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -125,6 +151,19 @@ def main():
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
+        except duckdb.OutOfMemoryException:
+            # pressure flake, not a wrong answer: retry once on a fresh
+            # capped connection; a genuine memory bug fails both times
+            try:
+                con = duck_connect(sf_dir)
+                dpdf = con.sql(oracles[name]).df()
+                print(f"NOTE {name}: duckdb OOM'd once under host "
+                      f"pressure; passed on fresh-connection retry")
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error (after one retry) "
+                      f"{type(e).__name__}: {e}")
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures += 1
