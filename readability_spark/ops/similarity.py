@@ -916,8 +916,48 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_df(emb)
 
 
+SEM_CELL_TARGET = 125  # ⟨cell⟩ vectors per quantizer cell in the scaled
+                       # form: k = n/125 reproduces the gate config
+                       # (k=16) exactly at the sf0.1 corpus (n=2000), so
+                       # the scaled and gate forms coincide at gate scale.
+
+
+def semdedup_scaled(spark: SparkSession, sf_dir: str,
+                    cell_target: int = SEM_CELL_TARGET,
+                    threshold: float = SEM_DUP_THRESHOLD) -> DataFrame:
+    """Production SemDedup: quantizer cell count scales with the corpus so
+    per-cell pair work stays FLAT as the corpus grows — k = max(IVF_K,
+    n // cell_target), i.e. ~n/125 cells of ~125 vectors each.
+
+    Why this exists (r7 scale-up probe, BENCH/scaleup_history.jsonl): the
+    fixed-k gate form measured wall(10×)/wall(1×) = **48.7** on a 10×
+    corpus — per-cell candidate pairs grow (n/k)², the one genuinely
+    super-linear shape the probe found across the whole dedup/ANN family.
+    With k ∝ n the within-cell pair count grows linearly in n (n/k cells ×
+    ⟨cell⟩²/2 pairs), which is the SemDedup paper's own configuration
+    (50k clusters for LAION-440M ≈ 9k vectors/cell at embedding scale;
+    our 125 matches the synthetic corpus's cluster granularity).
+
+    The single ``count()`` is a driver-side CONFIG action (one long), the
+    same pattern as AQE's runtime statistics — not a data collect; at
+    100 TB the count comes free from the table's metadata/statistics.
+    The gate query stays at fixed k=16 because the DuckDB oracle pins the
+    quantizer cell-by-cell; this wrapper is the same lineage with a wider
+    centroid filter, so every plan lock on semdedup_df applies unchanged.
+    """
+    dim = EMB_DIM
+    guard = (f"if(size(embedding) >= {dim}, embedding, "
+             f"raise_error('embedding narrower than dim={dim}'))")
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(guard))
+    n = emb.count()
+    k = max(IVF_K, n // int(cell_target))
+    return semdedup_df(emb, threshold, k=k)
+
+
 def semdedup_df(emb: DataFrame,
-                threshold: float = SEM_DUP_THRESHOLD) -> DataFrame:
+                threshold: float = SEM_DUP_THRESHOLD,
+                k: int = IVF_K) -> DataFrame:
     """DataFrame-core of ``semdedup`` — takes any (vec_id, embedding)
     table so the planted-duplicate design-point test can run it over a
     corpus with real near-copies (the parquet corpus has none).
@@ -928,14 +968,19 @@ def semdedup_df(emb: DataFrame,
     groupBy(centroid_id) that forms cluster cells, and the quadratic pair
     work is confined to cells — production picks K ≈ n/⟨cell⟩ to hold cell
     size constant (the paper uses 50k clusters for LAION-440M), so per-cell
-    work is flat while cells parallelize.  The per-vector table feeds three
-    consumers (pair build, both sides of the priority comparison, final
-    output), so it is localCheckpointed once — at real scale that is the
-    persisted "index" artifact shared with ann_ivf_topk.
+    work is flat while cells parallelize.  ``k`` is that dial: the gate
+    default IVF_K=16 is exact-oracle territory at gate scale but
+    QUADRATIC in n if held fixed — the r7 10×-corpus probe measured
+    wall(10×)/wall(1×) = 48.7 at fixed k=16 (per-cell pairs grow (n/k)²)
+    vs ~linear once k scales with n (``semdedup_scaled``).  The
+    per-vector table feeds three consumers (pair build, both sides of the
+    priority comparison, final output), so it is localCheckpointed once —
+    at real scale that is the persisted "index" artifact shared with
+    ann_ivf_topk.
     """
     cents = emb.filter(
         (F.col("vec_id") >= IVF_FIRST)
-        & (F.col("vec_id") < IVF_FIRST + IVF_K)).select(
+        & (F.col("vec_id") < IVF_FIRST + int(k))).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("b"))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),

@@ -11,9 +11,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from readability_spark.ops.similarity import (
+    IVF_K,
+    SEM_CELL_TARGET,
     SEM_DUP_THRESHOLD,
     semdedup,
     semdedup_df,
+    semdedup_scaled,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -60,6 +63,45 @@ def test_semdedup_planted_duplicates_drop_all_but_edge(spark):
     assert [r["n_dups"] for r in triple] == [2, 2, 2]
     assert [r["dropped"] for r in triple] == [0, 1, 1]
     # nothing else is within 0.999 of anything -> untouched
+    for vid, r in out.items():
+        if vid not in (100, 9000, 9001):
+            assert r["n_dups"] == 0 and r["dropped"] == 0
+
+
+def test_semdedup_scaled_coincides_with_gate_at_gate_scale(spark):
+    """k = max(IVF_K, n // 125) floors at the gate config for every gate
+    corpus (n=500 here, n=2000 at sf0.1), so the production scaled form
+    must be row-identical to the oracled gate query at gate scale — the
+    property that lets the fixed-k oracle vouch for the scaled lineage."""
+    assert max(IVF_K, 500 // SEM_CELL_TARGET) == IVF_K
+    assert max(IVF_K, 2000 // SEM_CELL_TARGET) == IVF_K
+    got = semdedup_scaled(spark, SF_DIR).collect()
+    want = semdedup(spark, SF_DIR).collect()
+    assert got == want
+
+
+def test_semdedup_wider_quantizer_still_drops_planted_copies(spark):
+    """The k-dial (the scaled form's anti-quadratic lever: the r7 10×
+    probe measured 48.7× wall growth at fixed k=16) must not change the
+    design-point semantics: identical vectors land in the SAME cell no
+    matter how many cells exist, so the planted triple still resolves to
+    keep-lowest-vec_id under a 2× wider quantizer."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") == 100)
+    planted = emb
+    for new_id in (9000, 9001):
+        planted = planted.union(
+            src.select(F.lit(new_id).cast("long").alias("vec_id"),
+                       "embedding", "label"))
+    out = {r["vec_id"]: r for r in
+           semdedup_df(planted, 0.999, k=2 * IVF_K).collect()}
+    assert len(out) == 502
+    # the wider quantizer genuinely produced more cells
+    assert len({r["centroid_id"] for r in out.values()}) > IVF_K
+    triple = [out[100], out[9000], out[9001]]
+    assert len({r["centroid_id"] for r in triple}) == 1
+    assert [r["n_dups"] for r in triple] == [2, 2, 2]
+    assert [r["dropped"] for r in triple] == [0, 1, 1]
     for vid, r in out.items():
         if vid not in (100, 9000, 9001):
             assert r["n_dups"] == 0 and r["dropped"] == 0

@@ -12,7 +12,8 @@ far OVER 10 would expose a super-linear term) is the evidence.
 
 10× inputs (cached under BENCH/data, deterministic, public-shape only):
 - transcripts_bench10x: ten seed-variants of the bench transcript table
-  (seeds 42..51, conv_ids remapped per seed) — ~298k turns.
+  (seeds 42..51, conv_ids remapped per seed) — 269,481 turns (~9.0×; seed
+  variants draw their own Zipf conversation lengths).
 - sf1x/documents.parquet: 50,000 docs over the SAME 31-word vocabulary,
   length/lang/source distributions matched to /root/testdata/sf0.1, with
   a planted near-dup every 20th doc (constant dup RATE, bounded clique
@@ -45,10 +46,14 @@ N_VECS = 20_000
 SEEDS = list(range(42, 52))
 
 # the dedup/LSH/IVF family the r6 verdict asked to probe, plus the
-# gram-heavy quality pair (the other plausible quadratic hideout)
+# gram-heavy quality pair (the other plausible quadratic hideout).
+# semdedup runs in its PRODUCTION form (semdedup_scaled, k ∝ n): the probe's
+# first run measured the fixed-k gate form at 48.7× for 10× data — the
+# (n/k)² per-cell quadratic the scaled form exists to remove (recorded in
+# scaleup_history.jsonl as the contrast row).
 FAMILY = [
     "dedup_minhash", "dedup_lsh_pairs", "dedup_near", "dedup_clusters",
-    "dedup_embedding", "ann_ivf_topk", "semdedup",
+    "dedup_embedding", "ann_ivf_topk", "semdedup_scaled",
     "line_dedup", "repeated_substr",
 ]
 
@@ -78,8 +83,10 @@ def build_docs() -> None:
     # the SAME vocabulary as the reference corpus — pulled from the data,
     # not hard-coded, so a driver-side regeneration can't drift us
     vocab = [r[0] for r in duckdb.sql(
-        f"SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t "
-        f"FROM '{BASE_SF}/documents.parquet' WHERE t <> '' ORDER BY t"
+        f"SELECT DISTINCT t FROM ("
+        f"  SELECT unnest(string_split(lower(text), ' ')) AS t"
+        f"  FROM '{BASE_SF}/documents.parquet')"
+        f" WHERE t <> '' ORDER BY t"
     ).fetchall()]
     rng = np.random.default_rng(7)
     langs = np.array(["en", "zh", "es", "fr", "de"])
@@ -171,7 +178,10 @@ def main() -> None:
     n_big = build_transcripts10x(spark)
     warm_workers(spark)
 
-    qs = entrymod.queries()
+    from readability_spark.ops.similarity import semdedup_scaled
+
+    qs = dict(entrymod.queries())
+    qs["semdedup_scaled"] = semdedup_scaled
 
     def force(df) -> None:
         (df.select(F.xxhash64(F.struct("*")).alias("h"))
