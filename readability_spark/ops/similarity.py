@@ -19,6 +19,8 @@ flip near-tied ranks between engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -916,43 +918,49 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_df(emb)
 
 
-SEM_CELL_TARGET = 125  # ⟨cell⟩ vectors per quantizer cell in the scaled
-                       # form: k = n/125 reproduces the gate config
-                       # (k=16) exactly at the sf0.1 corpus (n=2000), so
-                       # the scaled and gate forms coincide at gate scale.
+def sem_k_for(n: int) -> int:
+    """The scaled quantizer's cell count: k = max(IVF_K, ⌊√n⌋).
+
+    √n is the BALANCED configuration of a flat (single-level) quantizer:
+    total work = assignment n·k + within-cell pairs (n/k cells × (n/k)²/2
+    each ≈ n²/k), minimized at k = √n where both terms are Θ(n^1.5).
+    Either extreme is quadratic — fixed k leaves (n/k)² pair growth (the
+    r7 probe measured 48.7× wall for ~9× data), k ∝ n leaves n·k = n²/c
+    assignment growth AND an un-broadcastable centroid table (10^10
+    vectors → 8×10^7 centroids × 64 floats ≈ 20 GB; √n keeps it ~25 MB).
+    The SemDedup paper's own config is the same order: 50k clusters for
+    LAION-440M vs √(4.4×10^8) ≈ 21k.  There is no linear-time exact
+    SemDedup on a flat quantizer; Θ(n^1.5) with both terms embarrassingly
+    parallel IS the published algorithm's scale shape.
+    """
+    return max(IVF_K, math.isqrt(max(int(n), 0)))
 
 
 def semdedup_scaled(spark: SparkSession, sf_dir: str,
-                    cell_target: int = SEM_CELL_TARGET,
                     threshold: float = SEM_DUP_THRESHOLD) -> DataFrame:
-    """Production SemDedup: quantizer cell count scales with the corpus so
-    per-cell pair work stays FLAT as the corpus grows — k = max(IVF_K,
-    n // cell_target), i.e. ~n/125 cells of ~125 vectors each.
-
-    Why this exists (r7 scale-up probe, BENCH/scaleup_history.jsonl): the
-    fixed-k gate form measured wall(10×)/wall(1×) = **48.7** on a 10×
-    corpus — per-cell candidate pairs grow (n/k)², the one genuinely
-    super-linear shape the probe found across the whole dedup/ANN family.
-    With k ∝ n the within-cell pair count grows linearly in n (n/k cells ×
-    ⟨cell⟩²/2 pairs), which is the SemDedup paper's own configuration
-    (50k clusters for LAION-440M ≈ 9k vectors/cell at embedding scale;
-    our 125 matches the synthetic corpus's cluster granularity).
+    """Production SemDedup: quantizer cell count scales as √n (see
+    ``sem_k_for``) so neither the per-cell pair work nor the assignment
+    term can go quadratic — the r7 10×-corpus probe measured the fixed-k
+    gate form at wall(10×)/wall(1×) = 48.7 (per-cell pairs grow (n/k)²),
+    vs a measured exponent ≈ 1.25 for the scaled form (~15.6× wall for
+    9.04× data, below the Θ(n^1.5) balance bound because fixed overheads
+    amortize; BENCH/scaleup_history.jsonl).
 
     The single ``count()`` is a driver-side CONFIG action (one long), the
     same pattern as AQE's runtime statistics — not a data collect; at
     100 TB the count comes free from the table's metadata/statistics.
     The gate query stays at fixed k=16 because the DuckDB oracle pins the
     quantizer cell-by-cell; this wrapper is the same lineage with a wider
-    centroid filter, so every plan lock on semdedup_df applies unchanged.
+    centroid filter, so every plan lock on semdedup_df applies unchanged
+    (pinned: the planted-duplicate semantics hold under a wider quantizer,
+    tests/test_semdedup.py).
     """
     dim = EMB_DIM
     guard = (f"if(size(embedding) >= {dim}, embedding, "
              f"raise_error('embedding narrower than dim={dim}'))")
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.expr(guard))
-    n = emb.count()
-    k = max(IVF_K, n // int(cell_target))
-    return semdedup_df(emb, threshold, k=k)
+    return semdedup_df(emb, threshold, k=sem_k_for(emb.count()))
 
 
 def semdedup_df(emb: DataFrame,

@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 
 from readability_spark.ops.similarity import (
     IVF_K,
-    SEM_CELL_TARGET,
     SEM_DUP_THRESHOLD,
+    sem_k_for,
     semdedup,
     semdedup_df,
     semdedup_scaled,
@@ -68,16 +68,33 @@ def test_semdedup_planted_duplicates_drop_all_but_edge(spark):
             assert r["n_dups"] == 0 and r["dropped"] == 0
 
 
-def test_semdedup_scaled_coincides_with_gate_at_gate_scale(spark):
-    """k = max(IVF_K, n // 125) floors at the gate config for every gate
-    corpus (n=500 here, n=2000 at sf0.1), so the production scaled form
-    must be row-identical to the oracled gate query at gate scale — the
-    property that lets the fixed-k oracle vouch for the scaled lineage."""
-    assert max(IVF_K, 500 // SEM_CELL_TARGET) == IVF_K
-    assert max(IVF_K, 2000 // SEM_CELL_TARGET) == IVF_K
-    got = semdedup_scaled(spark, SF_DIR).collect()
-    want = semdedup(spark, SF_DIR).collect()
-    assert got == want
+def test_sem_k_rule_is_balanced_sqrt():
+    """k = max(IVF_K, isqrt(n)): the flat-quantizer balance point where
+    assignment (n·k) and within-cell pairs (n²/k) are both Θ(n^1.5) —
+    either extreme is quadratic (the r7 10× probe measured fixed-k at
+    48.7× wall for ~9× data).  Paper-order sanity: LAION-440M → ~21k
+    cells vs the paper's 50k."""
+    assert sem_k_for(0) == IVF_K
+    assert sem_k_for(IVF_K * IVF_K) == IVF_K          # floor boundary
+    assert sem_k_for(500) == 22
+    assert sem_k_for(20_000) == 141
+    assert 20_000 < sem_k_for(440_000_000) < 22_000
+
+
+def test_semdedup_scaled_runs_and_keeps_invariants(spark):
+    """The production √n form over the gate corpus (n=500 → k=22): same
+    output contract as the oracled fixed-k query — one row per vector,
+    verdicts consistent, and a genuinely wider quantizer in play."""
+    rows = semdedup_scaled(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 500 and ids == sorted(ids)
+    assert len({r["centroid_id"] for r in rows}) > IVF_K
+    for r in rows:
+        assert r["dropped"] in (0, 1)
+        if r["n_dups"] == 0:
+            assert r["dropped"] == 0
+        assert -1.0 <= r["cent_cos"] <= 1.0
 
 
 def test_semdedup_wider_quantizer_still_drops_planted_copies(spark):

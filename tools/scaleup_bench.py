@@ -47,10 +47,12 @@ SEEDS = list(range(42, 52))
 
 # the dedup/LSH/IVF family the r6 verdict asked to probe, plus the
 # gram-heavy quality pair (the other plausible quadratic hideout).
-# semdedup runs in its PRODUCTION form (semdedup_scaled, k ∝ n): the probe's
-# first run measured the fixed-k gate form at 48.7× for 10× data — the
-# (n/k)² per-cell quadratic the scaled form exists to remove (recorded in
-# scaleup_history.jsonl as the contrast row).
+# semdedup runs in its PRODUCTION form (semdedup_scaled, k = √n — the flat
+# quantizer's balance point, Θ(n^1.5) total): the probe's first run measured
+# the fixed-k gate form at 48.7× for ~9× data — the (n/k)² per-cell
+# quadratic — recorded in scaleup_history.jsonl as the contrast row.  The
+# scaled form is the one query NOT expected to be ≲ linear; its bound is
+# 9.04^1.5 ≈ 27×, and the measured ~15.6× (exponent ≈ 1.25) sits under it.
 FAMILY = [
     "dedup_minhash", "dedup_lsh_pairs", "dedup_near", "dedup_clusters",
     "dedup_embedding", "ann_ivf_topk", "semdedup_scaled",
