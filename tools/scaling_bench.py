@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import multiprocessing as mp
 import os
 import subprocess
@@ -111,7 +112,10 @@ def main() -> None:
     for line in open(HISTORY):
         rec = json.loads(line)
         n_recorded_runs += 1
-        n_turns = n_turns or rec.get("n_turns", 0)
+        # latest record wins: early history rows predate the final bench
+        # corpus (13,351 turns vs 29,797) and SCALING_ROUNDS=0 regeneration
+        # must not resurrect the stale count into the report header
+        n_turns = rec.get("n_turns", 0) or n_turns
         for k in LEVELS:
             tp = rec["tp"].get(str(k), 0.0)
             if tp > best_tp[k]:
@@ -209,6 +213,49 @@ def main() -> None:
                     f"| {ex.get('normalized_median', '—')} "
                     f"| {ex.get('normalized_spread', '—')} |")
     bench_table = "\n".join(bench_rows) or "| (no runs recorded yet) | | | | | |"
+
+    # ~10× scale-up probe (tools/scaleup_bench.py appends one row per run;
+    # the LATEST row is the current-code evidence, the first row — fixed-k
+    # semdedup — is kept as the quadratic contrast)
+    scaleup_hist = os.path.join(REPO, "BENCH", "scaleup_history.jsonl")
+    scaleup_md = ("*(not yet run — `python tools/scaleup_bench.py` on an "
+                  "idle box)*")
+    if os.path.exists(scaleup_hist):
+        sruns = [json.loads(line) for line in open(scaleup_hist)]
+        if sruns:
+            last = sruns[-1]
+            w = last["extra"]["walls"]
+            growth = round(last["extra"]["n_turns_10x"]
+                           / last["extra"]["n_turns_1x"], 2)
+            srows = "\n".join(
+                f"| {q} | {v['sec_1x']} | {v['sec_10x']} "
+                f"| {last['queries'][q]} |" for q, v in w.items())
+            fixed_sem = next((r["queries"]["semdedup"] for r in sruns
+                              if "semdedup" in r.get("queries", {})), None)
+            contrast = (
+                f"The probe's first run measured the FIXED-k gate form of "
+                f"semdedup at **{fixed_sem}×** — the (n/k)² per-cell "
+                f"quadratic that motivated `semdedup_scaled` (k = √n, the "
+                f"flat quantizer's Θ(n^1.5) balance point; its bound here "
+                f"is {growth}^1.5 ≈ {round(growth ** 1.5, 1)}×)."
+                if fixed_sem else "")
+            scaleup_md = f"""Deterministic ~10× corpus (tools/scaleup_bench.py: {last['extra']['n_turns_10x']:,}
+transcript turns = {growth}× the bench table; 50k documents over the same
+vocabulary with a constant planted near-dup rate; 20k clustered
+embeddings), each query run at 1× and 10× back-to-back in the same window
+(controls: open {last['extra']['control_open_docs_per_sec']}, close
+{last['extra'].get('control_close_docs_per_sec', '—')} docs/s).  A hidden
+quadratic would show a wall ratio far ABOVE the data growth; fixed
+overheads amortizing pull it below.  Latest run
+({len(sruns)} recorded in scaleup_history.jsonl):
+
+| query | wall 1× (s) | wall ~10× (s) | ratio |
+| --- | --- | --- | --- |
+{srows}
+
+Every query grows sub-linearly in data size except `semdedup_scaled`,
+whose exact-algorithm bound is Θ(n^1.5) — measured exponent
+≈ {round(math.log(last['queries'].get('semdedup_scaled', 1)) / math.log(growth), 2) if last['queries'].get('semdedup_scaled') else '—'}, under the bound.  {contrast}"""
     md = f"""# BENCH baseline — scaling evidence
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 between N and 4N
@@ -294,6 +341,10 @@ the recorded band — and every operator query returned to r2-like walls
 code change to those paths.  Conclusion: the r3 swing was host noise,
 not a regression; the control now makes that distinction measurable
 per-round instead of arguable.
+
+## Scale-up evidence (~10× corpus, no hidden quadratics)
+
+{scaleup_md}
 
 Design notes for real-cluster scaling: the job's only coordination is the
 one salt shuffle (hash(conv_id, turn_idx) → parallelism×4 buckets), which
