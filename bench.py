@@ -43,6 +43,18 @@ SPREAD_TRUST = 3.0
 # agree within this factor (bounded attempts, short sleeps) — cheap
 # insurance that the session opens on a minute the host is actually quiet.
 QUIET_AGREE = 2.0
+# control-clean gate (r7, second fix): a live r7 session showed the probe
+# passing (3133→3926) and THEN a co-tenant spike depressing the next four
+# controls 5× (3618 → 507/541/675/814 → 3646).  The stolen pairs' ratios
+# were mutually consistent (1.95-2.88, spread 1.47) because a depressed
+# denominator inflates every ratio the same way — so the best-window rule,
+# which only looks at ratio consistency, ADJUDICATED THE SPIKE (median
+# 2.13 vs the documented quiet band 0.18-0.63).  The r5/r6 best-window
+# medians (2.56/2.41) are the same artifact.  Fix: a pair only qualifies
+# for a trusted window if its normalizing control is within this factor of
+# the session's best control sample — the quiet minutes define the
+# silicon, the depressed ones define the co-tenant.
+CTL_CLEAN = 2.0
 
 
 def probe_quiet(cpus: int, max_probes: int, sleep_s: float) -> tuple[list[float], bool]:
@@ -65,26 +77,37 @@ def probe_quiet(cpus: int, max_probes: int, sleep_s: float) -> tuple[list[float]
     return samples, False
 
 
-def best_contiguous_window(ratios: list[float]) -> dict | None:
+def best_contiguous_window(ratios: list[float],
+                           clean: list[bool] | None = None) -> dict | None:
     """Best contiguous run of pair ratios (len ≥ 2): the LONGEST window
     whose spread is within SPREAD_TRUST (more pairs = stronger evidence),
     ties broken by tighter spread then later start; if no window meets the
     trust bar, fall back to the tightest window overall.  A stolen minute
     poisons one or two adjacent pairs; the surviving contiguous stretch is
     the window the host actually offered, and reporting it alongside the
-    full set lets the artifact be judged standalone."""
+    full set lets the artifact be judged standalone.
+
+    ``clean`` (parallel to ``ratios``) marks pairs whose normalizing
+    control was itself healthy (within CTL_CLEAN× of the session's best
+    control).  When given, only all-clean windows can QUALIFY: consistent
+    ratios over depressed controls are the co-tenant's signature, not the
+    silicon's (see CTL_CLEAN note).  The returned dict carries
+    ``clean``: whether the chosen window is all-clean."""
     from statistics import median as _median
+
+    def _all_clean(i: int, j: int) -> bool:
+        return clean is None or all(clean[i:j])
 
     best = None
     for i in range(len(ratios)):
         for j in range(i + 2, len(ratios) + 1):
             w = ratios[i:j]
             sp = max(w) / min(w)
-            # qualifying windows (spread ≤ trust) sort ahead of all
-            # non-qualifying ones; within each class: longest, then
-            # tightest, then latest
-            key = (sp > SPREAD_TRUST, -(j - i) if sp <= SPREAD_TRUST else 0,
-                   round(sp, 6), -i)
+            # qualifying windows (spread ≤ trust AND control-clean) sort
+            # ahead of all non-qualifying ones; within each class:
+            # longest, then tightest, then latest
+            ok = sp <= SPREAD_TRUST and _all_clean(i, j)
+            key = (not ok, -(j - i) if ok else 0, round(sp, 6), -i)
             if best is None or key < best[0]:
                 best = (key, i, j)
     if best is None:
@@ -93,7 +116,8 @@ def best_contiguous_window(ratios: list[float]) -> dict | None:
     w = ratios[i:j]
     return {"start": i, "len": j - i,
             "median": round(_median(w), 3),
-            "spread": round(max(w) / min(w), 2)}
+            "spread": round(max(w) / min(w), 2),
+            "clean": _all_clean(i, j)}
 
 OPS_QUERIES = [
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_lsh_pairs",
@@ -197,27 +221,46 @@ def main() -> None:
     pair_ratios: list[float] = []
     ctl_samples: list[float] = []
     runs: list[float] = []
+    # per-run flank indices into ctl_samples: left = the control sampled
+    # immediately before the run, right = immediately after.  Explicit
+    # indices (rather than positional i/i+1) let the extension insert
+    # re-probe control samples BETWEEN pairs without misattributing them
+    # as a run's adjacent flank.
+    flanks: list[tuple[int, int]] = []
     n = 0
-    for _ in range(max(1, reps) if not extract_only else 2):
-        if not extract_only:
-            ctl_i, _ = mp_control(CPUS)
-            ctl_samples.append(ctl_i)
-        dt_i, n = run_extract(spark)
-        runs.append(dt_i)
-    if not extract_only:
-        # closing bracket: every extract run is now flanked by a control
-        # on each side; normalize by the max of its two neighbors (a
-        # stolen minute usually depresses only one of them)
+    if extract_only:
+        for _ in range(2):
+            dt_i, n = run_extract(spark)
+            runs.append(dt_i)
+    else:
         ctl_i, _ = mp_control(CPUS)
         ctl_samples.append(ctl_i)
+        for _ in range(max(1, reps)):
+            left = len(ctl_samples) - 1
+            dt_i, n = run_extract(spark)
+            runs.append(dt_i)
+            # closing/shared bracket: every extract run is flanked by a
+            # control on each side; normalize by the max of its two
+            # neighbors (a stolen minute usually depresses only one)
+            ctl_i, _ = mp_control(CPUS)
+            ctl_samples.append(ctl_i)
+            flanks.append((left, len(ctl_samples) - 1))
+    if not extract_only:
+        def _normalizers() -> list[float]:
+            return [max(ctl_samples[a], ctl_samples[b]) for a, b in flanks]
 
         def _ratios() -> list[float]:
             out = []
-            for i, dt_i in enumerate(runs):
-                c = max(ctl_samples[i], ctl_samples[i + 1])
+            for dt_i, c in zip(runs, _normalizers()):
                 if c > 0:
                     out.append((n / dt_i) / c)
             return out
+
+        def _clean() -> list[bool]:
+            # parallel to _ratios(): same c > 0 filter keeps the lists
+            # index-aligned for the window gate
+            top = max(ctl_samples)
+            return [c >= top / CTL_CLEAN for c in _normalizers() if c > 0]
 
         pair_ratios = _ratios()
         # Self-adjudication (r6): BENCH_r05.json shipped with spread=14.4 —
@@ -230,25 +273,42 @@ def main() -> None:
         # poisoned pair would otherwise force the full extension budget
         # even after plenty of consistent evidence has accumulated.
         def _trusted() -> bool:
-            if len(pair_ratios) >= 2 and \
-                    max(pair_ratios) / min(pair_ratios) <= SPREAD_TRUST:
+            if (len(pair_ratios) >= 2 and all(_clean())
+                    and max(pair_ratios) / min(pair_ratios) <= SPREAD_TRUST):
                 return True
-            win = best_contiguous_window(pair_ratios)
+            win = best_contiguous_window(pair_ratios, _clean())
             return (win is not None and win["spread"] <= SPREAD_TRUST
-                    and win["len"] >= max(2, reps))
+                    and win["clean"] and win["len"] >= max(2, reps))
 
         max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "5"))
+        # re-probe budget (r7): when the latest control shows the host
+        # mid-spike, extension pairs would land inside the spike and burn
+        # the budget without ever forming a clean window — wait (bounded)
+        # for the control to recover before spending each extra pair.
+        reprobes = int(os.environ.get("SPARK_GRAFT_BENCH_REPROBES", "6"))
+        reprobe_waits = 0
         extended = 0
         while (extended < max_extra and len(pair_ratios) >= 2
                and not _trusted()):
+            while (reprobe_waits < reprobes and ctl_samples[-1] > 0
+                   and ctl_samples[-1] < max(ctl_samples) / CTL_CLEAN):
+                if probe_sleep > 0:
+                    time.sleep(probe_sleep)
+                ctl_i, _ = mp_control(CPUS)
+                ctl_samples.append(ctl_i)
+                reprobe_waits += 1
+            left = len(ctl_samples) - 1
             dt_i, n = run_extract(spark)
             runs.append(dt_i)
             ctl_i, _ = mp_control(CPUS)
             ctl_samples.append(ctl_i)
+            flanks.append((left, len(ctl_samples) - 1))
             extended += 1
             pair_ratios = _ratios()
         if extended:
             extra["bench_extended_pairs"] = extended
+        if reprobe_waits:
+            extra["bench_reprobe_waits"] = reprobe_waits
     # The headline stays best-of-the-INITIAL-reps so rounds compare the
     # same protocol (an extended noisy session must not get extra chances
     # at a golden minute that a quiet session never gets); the best across
@@ -331,14 +391,23 @@ def main() -> None:
             extra["normalized_median"] = round(median(pair_ratios), 3)
             spread = max(pair_ratios) / min(pair_ratios)
             extra["normalized_spread"] = round(spread, 2)
+            # control-clean gate: recomputed over the FULL control record
+            # (the post-stop bracket joins ctl_samples above, so a spike
+            # that depressed every in-session control is still unmasked by
+            # a quiet closing sample)
+            clean = _clean()
+            extra["pair_normalizer_ctls"] = [
+                round(c, 1) for c in _normalizers()]
+            extra["pair_control_clean"] = clean
             # self-adjudication verdict: which median should a reader use?
-            win = best_contiguous_window(pair_ratios)
-            if spread <= SPREAD_TRUST:
+            win = best_contiguous_window(pair_ratios, clean)
+            if spread <= SPREAD_TRUST and all(clean):
                 extra["normalized_adjudication"] = "full"
             elif win is not None:
                 extra["normalized_best_window"] = win
                 extra["normalized_adjudication"] = (
-                    "best_window" if win["spread"] <= SPREAD_TRUST
+                    "best_window"
+                    if win["spread"] <= SPREAD_TRUST and win["clean"]
                     else "untrusted")
             else:
                 extra["normalized_adjudication"] = "untrusted"

@@ -340,6 +340,19 @@ depresses only one).  The JSON reports the legacy best-ratio
 comparable — and `normalized_spread` (max/min pair), which says whether
 this round's number is trustworthy at a glance.
 
+Control-clean gate (r7): a pair only counts toward a trusted
+full/best-window verdict if its normalizing control is within 2× of the
+session's best control sample.  A live r7 session showed why: the
+pre-session quiet probe passed, then a co-tenant spike depressed four
+consecutive controls 5× — the stolen pairs' ratios were mutually
+consistent (spread 1.47) because a depressed denominator inflates them
+all alike, and the ungated window rule adjudicated the spike itself
+(median 2.13 vs the 0.18-0.63 quiet band; the r5/r6 best-window medians
+2.56/2.41 are the same artifact and must not be band-compared with
+clean-gated medians).  When the latest control shows the host mid-spike,
+the self-extension now re-probes (bounded) for recovery before spending
+extra pairs, so extension evidence lands in quiet minutes.
+
 Caveat for reading the ratio across rounds: the mp control imports the
 CURRENT extraction core, so a core-level speedup moves numerator and
 denominator together — the ratio tracks the Spark layer's overhead share,
