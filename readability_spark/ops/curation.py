@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import (SQL_TOKENS, md5_prefix_int_expr, md5_prefix_int_sql,
-                     table, tokens_col)
+from .common import (SQL_TOKENS, md5_prefix_int_fast_expr,
+                     md5_prefix_int_sql, ngram_zip_parts, table, tokens_col)
 
 # --- PII detection / redaction -----------------------------------------------
 #
@@ -132,35 +132,28 @@ _BENCH_PRED = ("substr(md5(concat('bench|', CAST(doc_id AS STRING))), 1, 1)"
 DECON_FLAG_FRAC = 0.2
 
 
-def _gram_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """documents → (doc_id, is_bench, grams) with in-row n-gram arrays.
+def _gram_rows(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """documents → (doc_id, is_bench, gram): one row per n-gram position.
 
     Shared gram builder for the exact and Bloom decontamination legs —
     identical column semantics, so the Bloom variant's maybe-set is a
     provable superset of the exact hit set.
+
+    r8: zip-explode form (common.ngram_zip_parts — 7.2x over the r6-late
+    interpreted transform+array_join(slice) lambda, identical strings).
+    The old n_tokens >= n pre-filter is gone: trailing NULL zip fields
+    mark short docs' missing positions and the IS NOT NULL filter drops
+    them, so the predicate was redundant — and it cost a full cloned
+    tokenize in the pushed-down scan filter.
     """
+    zip_expr, gram_expr, last = ngram_zip_parts(n)
     return (
         table(spark, sf_dir, "documents")
-        .select("doc_id", tokens_col("text").alias("toks"))
-        .withColumn("n_tokens", F.size("toks"))
-        .filter(F.col("n_tokens") >= n)
-        .withColumn("is_bench", F.expr(_BENCH_PRED))
-        # HOF lambdas are interpreted (no codegen), so per-lambda work
-        # dominates gram cost: n get() references per gram ran 2.7x
-        # slower than ONE array_join(slice(...)) call (16.2s -> 5.9s for
-        # 260k grams at sf0.1, measured warm).  The if() guard matters:
-        # Catalyst infers a size(grams) > 0 predicate from the downstream
-        # explode and may evaluate the inlined transform on rows the
-        # n_tokens filter drops — there sequence(1, n_tokens - n + 1)
-        # would be DESCENDING (its implicit step becomes -1), feeding
-        # slice a zero/negative start, which throws.  Empty array on
-        # those rows; surviving rows are unchanged.  (The window-lead
-        # gram builder is faster still on one box but shuffles every
-        # token — wrong shape for a 100 TB candidate leg.)
-        .withColumn("grams", F.expr(
-            f"transform(if(n_tokens >= {n}, "
-            f"sequence(1, n_tokens - {n} + 1), array()), "
-            f"i -> array_join(slice(toks, i, {n}), ' '))"))
+        .select("doc_id", F.expr(_BENCH_PRED).alias("is_bench"),
+                tokens_col("text").alias("toks"))
+        .select("doc_id", "is_bench", F.explode(F.expr(zip_expr)).alias("z"))
+        .filter(F.expr(f"{last} IS NOT NULL"))
+        .select("doc_id", "is_bench", F.expr(gram_expr).alias("gram"))
     )
 
 
@@ -172,12 +165,11 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     gram appears anywhere in the benchmark set — the fraction of the
     document covered by benchmark text, which is the filter criterion.
     """
-    docs = _gram_docs(spark, sf_dir, n)
-    bench = (docs.filter("is_bench")
-             .select(F.explode("grams").alias("gram")).distinct()
+    g = _gram_rows(spark, sf_dir, n)
+    bench = (g.filter("is_bench")
+             .select("gram").distinct()
              .withColumn("hit", F.lit(1)))
-    cand = (docs.filter("NOT is_bench")
-            .select("doc_id", F.explode("grams").alias("gram")))
+    cand = g.filter("NOT is_bench").select("doc_id", "gram")
     return (
         cand.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
@@ -269,8 +261,17 @@ DECONTAMINATE_SQL = _decon_sql()
 
 BLOOM_M = 65536
 BLOOM_K = 3
-_BLOOM_POS = [  # disjoint md5 hex slices → k "independent" hash positions
-    (lambda col, j=j: f"({md5_prefix_int_expr(col, 8, 1 + 8 * j)}"
+# disjoint md5 hex slices → k "independent" hash positions.  Two text
+# families for the SAME values: the Spark side uses the conv() fast form
+# (r8 — one substr+conv per position, md5 shared via codegen subexpression
+# elimination), the oracle keeps the fingerprint-frozen instr-chain text.
+_BLOOM_POS = [
+    (lambda col, j=j: f"({md5_prefix_int_fast_expr(col, 8, 1 + 8 * j)}"
+                      f" % {BLOOM_M})")
+    for j in range(BLOOM_K)
+]
+_BLOOM_POS_SQL = [
+    (lambda col, j=j: f"({md5_prefix_int_sql(col, 8, 1 + 8 * j)}"
                       f" % {BLOOM_M})")
     for j in range(BLOOM_K)
 ]
@@ -282,13 +283,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
     count of gram positions whose BLOOM_K md5-derived bits are ALL set in
     the filter built from the benchmark grams (superset of the exact
     contaminated count), plus the flag at the same threshold."""
-    docs = _gram_docs(spark, sf_dir, n)
+    g = _gram_rows(spark, sf_dir, n)
     # materialized ONCE: the bits table is broadcast BLOOM_K times, and
     # without the checkpoint each broadcast replays the benchmark scan +
     # gram distinct + position distinct (observed: 3x scans/exchanges)
     bits = (
-        docs.filter("is_bench")
-        .select(F.explode("grams").alias("gram")).distinct()
+        g.filter("is_bench")
+        .select("gram").distinct()
         .select(F.explode(F.expr(
             "array(" + ", ".join(p("gram") for p in _BLOOM_POS) + ")"))
             .alias("pos"))
@@ -296,8 +297,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str,
         .withColumn("bit", F.lit(1))
         .localCheckpoint())
     cand = (
-        docs.filter("NOT is_bench")
-        .select("doc_id", F.explode("grams").alias("gram"))
+        g.filter("NOT is_bench")
         .select("doc_id", *[
             F.expr(p("gram")).alias(f"p{j}")
             for j, p in enumerate(_BLOOM_POS)]))
@@ -330,9 +330,9 @@ def _decon_bloom_sql(n: int = DECON_N) -> str:
     leads = ",\n         ".join(
         f"lead(tok, {j}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{j}"
         for j in range(1, n))
-    pos_list = ", ".join(p("gram") for p in _BLOOM_POS)
+    pos_list = ", ".join(p("gram") for p in _BLOOM_POS_SQL)
     probes = ",\n         ".join(
-        p("gram") + f" AS p{j}" for j, p in enumerate(_BLOOM_POS))
+        p("gram") + f" AS p{j}" for j, p in enumerate(_BLOOM_POS_SQL))
     joins = "\n  ".join(
         f"LEFT JOIN bits bi{j} ON c.p{j} = bi{j}.pos"
         for j in range(BLOOM_K))
@@ -416,11 +416,13 @@ def dsir_select(spark: SparkSession, sf_dir: str,
                 k: int = DSIR_K) -> DataFrame:
     """Top-k candidate documents by hashed-unigram importance weight
     (average per-token bucket weight, doc_id tiebreak)."""
-    b_expr = f"({md5_prefix_int_expr('tok')} % {DSIR_BUCKETS})"
+    # r8: conv() fast md5-int (value-identical; oracle text unchanged);
+    # the len >= 1 pre-filter was redundant — token-less docs emit no
+    # exploded rows — and cost a cloned tokenize in the scan filter
+    b_expr = f"({md5_prefix_int_fast_expr('tok')} % {DSIR_BUCKETS})"
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens_col("text").alias("toks"))
-        .filter(F.size("toks") >= 1)
         .withColumn("is_target", F.expr(_DSIR_TARGET))
     )
     dbc = (

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, table, tokens_col
+from .common import SQL_TOKENS, ngram_zip_parts, table, tokens_col
 from .curation import _BENCH_PRED, DECON_N
 
 FUNNEL_LEN_LO = 16
@@ -65,25 +65,31 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id")) == 1
     # stage 3 metric: per-doc top bigram count — bigrams md5'd in-row so
-    # the exchange carries (doc_id, hash) only
+    # the exchange carries (doc_id, hash) only.  r8: zip-explode builders
+    # (common.ngram_zip_parts) with md5/concat_ws codegen-side; the nt
+    # pre-filters on the gram legs were redundant (short docs emit no
+    # complete-gram rows) and cost cloned tokenizes at the scan
+    zip2, gram2, last2 = ngram_zip_parts(2)
     rep = (
-        cand.filter(F.col("nt") >= 2)
-        .select("doc_id", F.explode(F.expr(
-            "transform(if(nt >= 2, sequence(1, nt - 1), array()), "
-            "i -> md5(array_join(slice(toks, i, 2), ' ')))")).alias("h"))
+        cand.select("doc_id", F.explode(F.expr(zip2)).alias("z"))
+        .filter(F.expr(f"{last2} IS NOT NULL"))
+        .select("doc_id", F.expr(f"md5({gram2})").alias("h"))
         .groupBy("doc_id", "h").agg(F.count("*").alias("c"))
         .groupBy("doc_id").agg(F.max("c").cast("long").alias("top_c"),
                                F.sum("c").cast("long").alias("n_pos")))
     # stage 4 metric: benchmark 3-gram overlap (decontaminate's shape)
-    grams = F.expr(
-        f"transform(if(nt >= {n}, sequence(1, nt - {n} + 1), array()), "
-        f"i -> array_join(slice(toks, i, {n}), ' '))")
-    bench = (docs.filter("is_bench").filter(F.col("nt") >= n)
-             .select(F.explode(grams).alias("gram")).distinct()
+    zipn, gramn, lastn = ngram_zip_parts(n)
+
+    def grams_of(side: DataFrame, *cols: str) -> DataFrame:
+        return (side.select(*cols, F.explode(F.expr(zipn)).alias("z"))
+                .filter(F.expr(f"{lastn} IS NOT NULL"))
+                .select(*cols, F.expr(gramn).alias("gram")))
+
+    bench = (grams_of(docs.filter("is_bench"))
+             .select("gram").distinct()
              .withColumn("hit", F.lit(1)))
     con = (
-        cand.filter(F.col("nt") >= n)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        grams_of(cand, "doc_id")
         .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"),

@@ -42,9 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, md5_prefix_int_expr, table, tokens_col
-from .dedup import (_MH_PARAMS, _MH_PRIME, _minhash_aggs, _shingle_expr,
-                    LSH_BANDS)
+from .common import (SQL_TOKENS, md5_prefix_int_expr,
+                     md5_prefix_int_fast_expr, table, tokens_col)
+from .dedup import _MH_PARAMS, _MH_PRIME, _minhash_aggs, _shingle_rows, \
+    LSH_BANDS
 
 _SNAP_NEW = ("substr(md5(concat('snap|', CAST(doc_id AS STRING))), 1, 1)"
              " IN ('c', 'd', 'e', 'f')")
@@ -70,11 +71,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_new", F.expr(_SNAP_NEW)))
 
     def sigs(side: DataFrame) -> DataFrame:
+        # r8: zip-explode shingles + conv() fast md5-int (see ops.dedup);
+        # the size >= 3 pre-filter was redundant
         return (
-            side.filter(F.expr("size(toks) >= 3"))
-            .select("doc_id",
-                    F.explode(F.expr(_shingle_expr())).alias("shingle"))
-            .withColumn("x", F.expr(md5_prefix_int_expr("shingle")))
+            _shingle_rows(side)
+            .withColumn("x", F.expr(md5_prefix_int_fast_expr("shingle")))
             .groupBy("doc_id").agg(*_minhash_aggs()))
 
     # the two ingested-corpus artifacts (tiny, checkpointed once)

@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, table, tokens_col
+from .common import SQL_TOKENS, ngram_zip_parts, table, tokens_col
 
 LM_SCALE = 1_000_000
 _LM_REF_PRED = ("substr(md5(concat('lm|', CAST(doc_id AS STRING))), 1, 1)"
@@ -65,25 +65,33 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens_col("text").alias("toks"))
-        .withColumn("n_tokens", F.size("toks"))
-        .filter(F.col("n_tokens") >= 2)
         .withColumn("is_ref", F.expr(_LM_REF_PRED))
-        # in-row bigram array — same if() guard + array_join(slice())
-        # idiom as decontaminate (HOF lambdas are interpreted; one slice
-        # call per gram beats per-element get() refs 2.7x)
-        .withColumn("bgs", F.expr(
-            "transform(if(n_tokens >= 2, sequence(1, n_tokens - 1), "
-            "array()), i -> array_join(slice(toks, i, 2), ' '))"))
     )
+
+    # r8: bigrams come from the zip-explode form (common.ngram_zip_parts
+    # — 7x over the interpreted transform+array_join(slice) lambda), and
+    # `prev` falls out of the zip struct for free where the old form
+    # re-split the gram string with split_part.  The n_tokens >= 2
+    # pre-filter is redundant on bigram legs (0/1-token docs emit no
+    # complete-bigram rows) and kept only where it is semantic: the
+    # unigram c1 leg, whose counts the oracle defines over >=2-token
+    # reference docs.
+    zip_expr, gram_expr, last = ngram_zip_parts(2)
+
+    def bigrams(side: DataFrame, *cols: str) -> DataFrame:
+        return (side.select(*cols, F.explode(F.expr(zip_expr)).alias("z"))
+                .filter(F.expr(f"{last} IS NOT NULL"))
+                .select(*cols, F.col("z.toks").alias("prev"),
+                        F.expr(gram_expr).alias("bg")))
+
     # reference unigram counts; checkpointed once — BOTH the c1 join and
     # the scalar V below read it, and each would replay the ref scan
-    c1 = (docs.filter("is_ref")
+    c1 = (docs.filter("is_ref").filter(F.size("toks") >= 2)
           .select(F.explode("toks").alias("prev"))
           .groupBy("prev").agg(F.count("*").alias("c1"))
           .localCheckpoint())
     # reference bigram counts (single consumer — no checkpoint)
-    c2 = (docs.filter("is_ref")
-          .select(F.explode("bgs").alias("bg"))
+    c2 = (bigrams(docs.filter("is_ref"))
           .groupBy("bg").agg(F.count("*").alias("c2")))
     # vocabulary size V as a broadcast 1-row table (the Laplace denom)
     v = F.broadcast(c1.agg(F.count("*").cast("long").alias("v")))
@@ -93,9 +101,7 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide exchange on the corpus-sized leg carries (doc_id, lang,
     # integer partials), never gram text
     scored = (
-        docs.filter("NOT is_ref")
-        .select("doc_id", "lang", F.explode("bgs").alias("bg"))
-        .withColumn("prev", F.expr("split_part(bg, ' ', 1)"))
+        bigrams(docs.filter("NOT is_ref"), "doc_id", "lang")
         .join(c2, "bg", "left")
         .join(c1, "prev", "left")
         .crossJoin(v)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import SQL_TOKENS, table, tokens_col
+from .common import SQL_TOKENS, ngram_zip_parts, table, tokens_col
 
 # --- Gopher-style repetition signals -----------------------------------------
 #
@@ -157,11 +157,14 @@ def chunk_dedup(spark: SparkSession, sf_dir: str,
     sequence hazard off rows the length filter drops.
     """
     k = chunk_tokens
+    # r8: no n_tokens >= k pre-filter — the if() guard already yields an
+    # empty chunk array for short docs (no rows after explode, so the
+    # per-doc output is unchanged), and the pushed-down filter cost a
+    # cloned tokenize at the scan
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens_col("text").alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
-        .filter(F.col("n_tokens") >= k)
     )
     # complete chunks only (i in [0, n div k)) — the detection framing
     # drops ragged tails, unlike line_dedup's rewrite framing
@@ -368,14 +371,18 @@ def repeated_substr(spark: SparkSession, sf_dir: str,
         .withColumn("n_tokens", F.size("toks"))
         .filter(F.col("n_tokens") >= k)
     )
-    pos = docs.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(if(n_tokens >= {k}, "
-            f"sequence(0, n_tokens - {k}), array()), "
-            f"i -> struct(i AS pos, "
-            f"md5(array_join(slice(toks, i + 1, {k}), ' ')) AS h))"
-        )).alias("g")).select("doc_id", "g.pos", "g.h")
+    # r8 zip-explode window builder (common.ngram_zip_parts): posexplode
+    # gives the 0-based position directly, the k-token window string is
+    # rebuilt codegen-side (concat_ws of the zip fields == the old
+    # array_join(slice(...))), and md5 runs AFTER the Generate instead of
+    # inside an interpreted per-position lambda.  Positions past
+    # n_tokens-k are the NULL-padded zip tail and are filtered — exactly
+    # the old sequence(0, n_tokens-k) range.
+    zip_expr, win_expr, last = ngram_zip_parts(k)
+    pos = (docs.select(
+        "doc_id", F.posexplode(F.expr(zip_expr)).alias("pos", "z"))
+        .filter(F.expr(f"{last} IS NOT NULL"))
+        .select("doc_id", "pos", F.expr(f"md5({win_expr})").alias("h")))
     dup = pos.groupBy("h").agg(F.count("*").alias("cnt")) \
         .filter(F.col("cnt") >= 2).select("h")
     rep = (

@@ -56,9 +56,11 @@ def search_topk(spark: SparkSession, sf_dir: str,
 
     Returns (query_id, rnk, doc_id, score) ordered by (query_id, rnk).
     """
+    # r8: the len >= 1 pre-filter was redundant (token-less docs emit no
+    # exploded postings/query-term rows) and cost a cloned tokenize in
+    # the pushed-down scan filter on both legs
     docs = (table(spark, sf_dir, "documents")
-            .select("doc_id", tokens_col("text").alias("toks"))
-            .filter(F.size("toks") >= 1))
+            .select("doc_id", tokens_col("text").alias("toks")))
     n = table(spark, sf_dir, "documents").count()  # driver scalar only
 
     postings = (docs

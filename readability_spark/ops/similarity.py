@@ -44,15 +44,33 @@ def _with_cosine(joined: DataFrame) -> DataFrame:
                         F.expr(_NORM.format(c="b"))))
 
 
+def _norm_col(c: str):
+    """sqrt of the left-fold sum of squares — the exact _NORM value."""
+    return F.expr(_NORM.format(c=c))
+
+
+def _with_cosine_pre(joined: DataFrame) -> DataFrame:
+    """``_with_cosine`` over sides carrying precomputed norm columns
+    ``na``/``nb`` (each the sqrt of the SAME left fold — identical
+    doubles, so cos is bit-identical to the inline form).  r8: the inline
+    form re-ran the interpreted HOF norm folds per PAIR; precomputing
+    once per VECTOR measured 1.9x on the all-pairs cosine join at sf0.1
+    with an identical result hash."""
+    return joined.withColumn(
+        "cos", F.expr(_DOT) / (F.col("na") * F.col("nb")))
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"),
+        _norm_col("embedding").alias("na"))
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("b"))
+                        F.col("embedding").alias("b"),
+                        _norm_col("embedding").alias("nb"))
     # queries are tiny → broadcast; corpus streams through unshuffled
     joined = corpus.crossJoin(F.broadcast(queries))
-    scored = _with_cosine(joined)
+    scored = _with_cosine_pre(joined)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -136,14 +154,16 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str,
                    f"raise_error('embedding narrower than dim={dim}'))")
     bucketed = emb.select(
         F.col("vec_id"), F.col("embedding"),
-        F.expr(bucket_expr).alias("bucket"))
+        F.expr(bucket_expr).alias("bucket"),
+        _norm_col("embedding").alias("nrm"))
     queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"),
-        F.col("bucket"))
+        F.col("bucket"), F.col("nrm").alias("na"))
     corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
-                             F.col("embedding").alias("b"), F.col("bucket"))
+                             F.col("embedding").alias("b"), F.col("bucket"),
+                             F.col("nrm").alias("nb"))
     joined = corpus.join(F.broadcast(queries), "bucket")
-    scored = _with_cosine(joined)
+    scored = _with_cosine_pre(joined)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -206,7 +226,8 @@ def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str,
                    f"raise_error('embedding narrower than dim={dim}'))")
     bucketed = emb.select(
         F.col("vec_id"), F.col("embedding"),
-        F.expr(bucket_expr).alias("bucket"))
+        F.expr(bucket_expr).alias("bucket"),
+        _norm_col("embedding").alias("nrm"))
     probes = F.array(
         F.col("bucket"),
         *[F.expr(f"bucket ^ {1 << p}") for p in range(N_PLANES)])
@@ -214,12 +235,14 @@ def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str,
         bucketed.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("a"),
+                F.col("nrm").alias("na"),
                 F.explode(probes).alias("bucket"))
     )
     corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
-                             F.col("embedding").alias("b"), F.col("bucket"))
+                             F.col("embedding").alias("b"), F.col("bucket"),
+                             F.col("nrm").alias("nb"))
     joined = corpus.join(F.broadcast(queries), "bucket")
-    scored = _with_cosine(joined)
+    scored = _with_cosine_pre(joined)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -377,10 +400,12 @@ def lsh_bandor_topk(spark: SparkSession, sf_dir: str,
     cand = (corpus.join(F.broadcast(queries), ["t", "bucket"])
             .select("query_id", "neighbor_id").distinct())
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"),
+        _norm_col("embedding").alias("na"))
     ne = emb.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("b"))
-    scored = _with_cosine(
+                    F.col("embedding").alias("b"),
+                    _norm_col("embedding").alias("nb"))
+    scored = _with_cosine_pre(
         cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
@@ -501,10 +526,12 @@ def embedding_near_dup_df(emb: DataFrame, dim: int = EMB_DIM,
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("a"))
+                    F.col("embedding").alias("a"),
+                    _norm_col("embedding").alias("na"))
     eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("b"))
-    scored = _with_cosine(pairs.join(ea, "vec_a").join(eb, "vec_b"))
+                    F.col("embedding").alias("b"),
+                    _norm_col("embedding").alias("nb"))
+    scored = _with_cosine_pre(pairs.join(ea, "vec_a").join(eb, "vec_b"))
     cos6 = F.round(F.col("cos"), 6)
     return (
         scored.select(
@@ -592,6 +619,13 @@ def _cos_over(x: str, y: str) -> str:
     return f"({dot} / ({nx} * {ny}))"
 
 
+def _dot_over(x: str, y: str) -> str:
+    """The dot-product fold of ``_cos_over`` alone — for call sites that
+    divide by precomputed norms instead (same fold, same values)."""
+    return (f"aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * "
+            f"cast(q as double)), 0D, (acc, v) -> acc + v)")
+
+
 def _ivf_assign(corpus: DataFrame, cents: DataFrame,
                 replicas: int = 1) -> DataFrame:
     """(neighbor_id, centroid_id): each corpus vector's ``replicas``
@@ -611,12 +645,20 @@ def _ivf_assign(corpus: DataFrame, cents: DataFrame,
     recall at fixed nprobe — measured at the gate config (nprobe=4):
     recall@5 0.56 → 0.76 (sf0.01) and 0.76 → 0.88 (sf0.001) for R=2.
     """
-    cents_arr = cents.agg(F.expr(
-        "collect_list(struct(centroid_id, b)) AS cs"))
+    # r8: per-vector norm (na) and per-centroid norms (nb inside the
+    # broadcast array) are computed ONCE instead of inside every one of
+    # the k per-centroid lambda evaluations — the division
+    # dot / (na * c.nb) is over the identical doubles, so the negcos sort
+    # keys (and hence the top-R lists) are bit-unchanged
+    cents_arr = (cents
+                 .select("centroid_id", "b", _norm_col("b").alias("nb"))
+                 .agg(F.expr("collect_list(struct(centroid_id, b, nb))")
+                      .alias("cs")))
     top = (f"transform(slice(array_sort(transform(cs, c -> named_struct("
-           f"'negcos', -{_cos_over('a', 'c.b')}, "
+           f"'negcos', -({_dot_over('a', 'c.b')} / (na * c.nb)), "
            f"'cid', c.centroid_id))), 1, {int(replicas)}), s -> s.cid)")
-    return (corpus.crossJoin(F.broadcast(cents_arr))
+    return (corpus.withColumn("na", _norm_col("a"))
+            .crossJoin(F.broadcast(cents_arr))
             .select("neighbor_id",
                     F.explode(F.expr(top)).alias("centroid_id")))
 
@@ -746,8 +788,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     assigned = _ivf_assign(corpus, cents, assign_replicas)
     # query probes: nearest IVF_NPROBE centroids per query (tiny)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"))
-    probe_scored = _with_cosine(queries.crossJoin(F.broadcast(cents)))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"),
+        _norm_col("embedding").alias("na"))
+    probe_scored = _with_cosine_pre(queries.crossJoin(F.broadcast(
+        cents.withColumn("nb", _norm_col("b")))))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("centroid_id"))
     probes = (probe_scored.withColumn("pr", F.row_number().over(w_probe))
@@ -761,8 +805,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     if assign_replicas > 1:
         cand = cand.distinct()
     ne = emb.select(F.col("vec_id").alias("neighbor_id"),
-                    F.col("embedding").alias("b"))
-    scored = _with_cosine(
+                    F.col("embedding").alias("b"),
+                    _norm_col("embedding").alias("nb"))
+    scored = _with_cosine_pre(
         cand.join(F.broadcast(queries), "query_id").join(ne, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))
@@ -995,9 +1040,11 @@ def semdedup_df(emb: DataFrame,
                         F.col("embedding").alias("a"))
     cents = _refine_centroids(corpus, cents).localCheckpoint()
     assigned = _ivf_assign(corpus, cents, 1)
-    cc = _with_cosine(
-        assigned.join(corpus, "neighbor_id")
-        .join(F.broadcast(cents), "centroid_id")).select(
+    cc = _with_cosine_pre(
+        assigned.join(corpus.withColumn("na", _norm_col("a")),
+                      "neighbor_id")
+        .join(F.broadcast(cents.withColumn("nb", _norm_col("b"))),
+              "centroid_id")).select(
         F.col("neighbor_id").alias("vec_id"), "centroid_id",
         F.round(F.col("cos"), 6).alias("cent_cos")).localCheckpoint()
     # within-cell candidate pairs via the single-lineage grouping pattern
@@ -1012,14 +1059,16 @@ def semdedup_df(emb: DataFrame,
         "transform(slice(vs, i + 2, size(vs)), "
         "y -> struct(x AS vec_a, y AS vec_b))))")
     ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("a"))
+                    F.col("embedding").alias("a"),
+                    _norm_col("embedding").alias("na"))
     eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("b"))
+                    F.col("embedding").alias("b"),
+                    _norm_col("embedding").alias("nb"))
     # the verified dup-pair set is tiny (threshold tail of within-cell
     # pairs); materialize it once — its lineage otherwise replays the
     # explode + two corpus joins for each of the union sides below
     pairs = (
-        _with_cosine(
+        _with_cosine_pre(
             cells.select(F.explode(F.expr(pair_expr)).alias("p"))
             .select("p.vec_a", "p.vec_b")
             .join(ea, "vec_a").join(eb, "vec_b"))

@@ -15,6 +15,7 @@ from .common import (
     WS_CHARS_SPARK,
     WS_CHARS_SQL,
     md5_prefix_int_expr,
+    md5_prefix_int_fast_expr,
     table,
     tokens_col,
 )
@@ -175,7 +176,9 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok"))
-    term = (f"(({md5_prefix_int_expr('tok')} % {_FP_MOD}) * "
+    # Spark side on the conv() fast md5-int (r8); the oracle text below
+    # keeps the fingerprint-frozen instr chain — values are identical
+    term = (f"(({md5_prefix_int_fast_expr('tok')} % {_FP_MOD}) * "
             f"((pos % 64) + 1)) % {_FP_MOD}")
     return (
         docs.groupBy("doc_id")

@@ -73,6 +73,19 @@ def build_session(app_name: str = "readability-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch))
         .config("spark.buffer.size", str(PYTHON_SOCKET_BUFFER))
+        # r8: InferFiltersFromGenerate clones each explode()'s child into
+        # a pushed-down `size(child) > 0 AND isnotnull(child)` predicate;
+        # when the child is a tokenize + n-gram build, every corpus row
+        # pays that construction TWICE (once in the cloned Filter, once in
+        # the real Project) for a predicate explode() enforces anyway
+        # (empty arrays emit no rows, and none of these derived predicates
+        # can reach parquet).  Result-identical; removes the duplicated
+        # subtree the guide's plan-audit checklist flags.  Scale-safe: the
+        # exclusion matters MORE at 100 TB (the cloned subtree is per-row
+        # work), and is independent of core count.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
     )
     if driver_memory:
         b = b.config("spark.driver.memory", driver_memory)
