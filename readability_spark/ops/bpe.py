@@ -73,17 +73,19 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
         # (loop exits early below when the pair table is exhausted; the
         # word table then keeps its pre-exhaustion segmentation instead of
         # collapsing to empty through a crossJoin with an empty argmax)
+        # overlapping adjacent pairs, get_stats-style; two-space joined so
+        # the pair key cannot collide across symbols.  r8: array_remove +
+        # zip-explode instead of the interpreted filter/transform lambdas
+        # (identical strings; see common.ngram_zip_parts)
         pairs = (
             words
-            .withColumn("syms", F.expr("filter(split(ws, '  '), "
-                                       "x -> x <> '')"))
-            .withColumn("n", F.size("syms"))
-            # overlapping adjacent pairs, get_stats-style; two-space
-            # joined so the pair key cannot collide across symbols
-            .withColumn("prs", F.expr(
-                "transform(if(n >= 2, sequence(1, n - 1), array()), "
-                "i -> array_join(slice(syms, i, 2), '  '))"))
-            .select("wc", F.explode("prs").alias("pr"))
+            .withColumn("syms",
+                        F.expr("array_remove(split(ws, '  '), '')"))
+            .select("wc", F.explode(F.expr(
+                "arrays_zip(syms, slice(syms, 2, size(syms)))")).alias("z"))
+            .filter(F.expr("z.`1` IS NOT NULL"))
+            .select("wc",
+                    F.expr("concat_ws('  ', z.syms, z.`1`)").alias("pr"))
             .groupBy("pr").agg(F.sum("wc").cast("long").alias("c")))
         best = (
             pairs.orderBy(F.desc("c"), F.asc("pr")).limit(1)
@@ -149,7 +151,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
     _, words = _train(spark, sf_dir, rounds)
     vocab = words.select(
         "tok",
-        F.expr("size(filter(split(ws, '  '), x -> x <> ''))")
+        F.expr("size(array_remove(split(ws, '  '), ''))")
         .cast("long").alias("n_sub"),
         F.length("tok").cast("long").alias("n_chr"))
     return (

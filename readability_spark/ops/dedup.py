@@ -517,8 +517,14 @@ def _connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
         .union(pairs.select(F.col("doc_b").alias("src"),
                             F.col("doc_a").alias("dst")))
     ).localCheckpoint()
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("rep", F.col("doc_id"))
+    # r8: seed labels with min(self, neighbors) — the first propagation
+    # for free out of the same aggregation that used to be a bare
+    # distinct.  Same monotone lattice, same fixed point (component
+    # minima); path-shaped pairs/triangles converge at init, so the loop
+    # typically runs one verification round instead of two full ones.
+    labels = (edges.groupBy("src")
+              .agg(F.least(F.min("dst"), F.col("src")).alias("rep"))
+              .select(F.col("src").alias("doc_id"), "rep")
               .localCheckpoint())
     for n_rounds in range(1, _CC_MAX_ITERS + 1):
         # neighbor proposals: src's current rep offered to dst

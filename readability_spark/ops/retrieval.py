@@ -63,22 +63,32 @@ def search_topk(spark: SparkSession, sf_dir: str,
             .select("doc_id", tokens_col("text").alias("toks")))
     n = table(spark, sf_dir, "documents").count()  # driver scalar only
 
-    postings = (docs
-                .select("doc_id", F.explode("toks").alias("term"))
-                .groupBy("term", "doc_id")
-                .agg(F.count("*").cast("long").alias("tf"))
-                # materialize once: df_t and the probe join both read the
-                # postings — without this the corpus is scanned twice more
-                # (the top_terms precedent; durable checkpoint on a cluster)
-                .localCheckpoint())
-    df_t = (postings.groupBy("term")
-            .agg(F.count("*").cast("long").alias("df")))
-
     qterms = (docs
               .filter(F.expr(_QUERY_PRED))
               .select(F.col("doc_id").alias("query_id"),
                       F.explode(F.slice("toks", 1, 3)).alias("term"))
-              .distinct())
+              .distinct()
+              # two broadcast consumers (postings pre-filter + scoring
+              # join) — materialize the tiny probe workload once
+              .localCheckpoint())
+
+    # r8 (guide §3.2 semi-join pre-filter): only query-term postings can
+    # reach the output (every downstream join is inner on term), so drop
+    # non-matching tokens BEFORE the (term, doc_id) aggregation — the
+    # corpus-sized exchange shrinks from every token to query-term tokens,
+    # and the checkpointed artifact shrinks from the full postings table
+    # to the probe slice.  tf and df are unchanged for surviving terms:
+    # tf counts within (term, doc_id) and df(term) counts docs per term,
+    # both over exactly the rows the full table holds for those terms.
+    postings = (docs
+                .select("doc_id", F.explode("toks").alias("term"))
+                .join(F.broadcast(qterms.select("term").distinct()), "term")
+                .groupBy("term", "doc_id")
+                .agg(F.count("*").cast("long").alias("tf"))
+                # materialize once: df_t and the scoring join both read it
+                .localCheckpoint())
+    df_t = (postings.groupBy("term")
+            .agg(F.count("*").cast("long").alias("df")))
 
     scored = (postings
               .join(df_t, "term")

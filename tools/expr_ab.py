@@ -180,8 +180,25 @@ def exp_cosine(spark, reps):
         cos = f"(({chain_idx('a', 'b')}) / (na * nb))"
         return (j.withColumn("cos", F.expr(cos))
                 .select("qid", "nid", "cos"))
-    return ab(spark, {"hof": hof, "chain": chain, "hofnorm": hofnorm,
-                      "chainnorm": chainnorm}, reps)
+    def twolayer():
+        # bandor trick: pre-cast every coordinate into its own double
+        # column (layer 1), then the 64-term multiply-add chain over those
+        # locals (layer 2) — small per-expression codegen units
+        qn = q.select(
+            "qid",
+            F.expr(f"sqrt({chain_idx('a', 'a')})").alias("na"),
+            *[F.expr(f"CAST(a[{i}] AS DOUBLE)").alias(f"qa{i}")
+              for i in range(EMB_DIM)])
+        cn = c.select(
+            "nid",
+            F.expr(f"sqrt({chain_idx('b', 'b')})").alias("nb"),
+            *[F.expr(f"CAST(b[{i}] AS DOUBLE)").alias(f"cb{i}")
+              for i in range(EMB_DIM)])
+        j = cn.crossJoin(F.broadcast(qn))
+        dot = " + ".join(f"(qa{i} * cb{i})" for i in range(EMB_DIM))
+        return (j.withColumn("cos", F.expr(f"({dot}) / (na * nb)"))
+                .select("qid", "nid", "cos"))
+    return ab(spark, {"hofnorm": hofnorm, "twolayer": twolayer}, reps)
 
 
 def exp_simhash(spark, reps):
