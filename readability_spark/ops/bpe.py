@@ -87,25 +87,31 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
             .select("wc",
                     F.expr("concat_ws('  ', z.syms, z.`1`)").alias("pr"))
             .groupBy("pr").agg(F.sum("wc").cast("long").alias("c")))
-        best = (
-            pairs.orderBy(F.desc("c"), F.asc("pr")).limit(1)
-            .select(
-                F.lit(r).cast("long").alias("merge_round"),
-                F.expr("split_part(pr, '  ', 1)").alias("a"),
-                F.expr("split_part(pr, '  ', 2)").alias("b"),
-                F.col("c").alias("pair_count"))
-            .localCheckpoint())
-        if not best.take(1):
+        # r8: the argmax IS the algorithm's sequential driver dependency —
+        # the old form materialized it via localCheckpoint + take(1),
+        # which already moved this one row to the driver across two jobs;
+        # a direct 1-row collect moves the same row in one job, and the
+        # next round's merge pair becomes a broadcast local relation
+        # (zero-job build) instead of a checkpointed lineage.
+        row = (pairs.orderBy(F.desc("c"), F.asc("pr")).limit(1)
+               .select(F.expr("split_part(pr, '  ', 1)").alias("a"),
+                       F.expr("split_part(pr, '  ', 2)").alias("b"),
+                       F.col("c").alias("pair_count"))
+               .collect())
+        if not row:
             # merges exhausted before `rounds` (every word is a single
-            # symbol): stop — words stays at its final segmentation.  The
-            # 1-row take on a localCheckpointed argmax is O(1).
+            # symbol): stop — words stays at its final segmentation.
             break
-        merges.append(best)
+        a, b, cnt = row[0]["a"], row[0]["b"], row[0]["pair_count"]
+        merges.append((r, a, b, int(cnt)))
+        # the merge pair rides into round r+1 as plain string LITERALS
+        # (F.lit — no SQL-text injection path), replacing the former
+        # 1-row broadcast crossJoin: one fewer plan leg per round, and a
+        # literal search pattern lets codegen do the replace directly
         words = (
-            words.crossJoin(F.broadcast(best.select("a", "b")))
-            .select("tok", "wc", F.expr(
-                "replace(ws, concat(' ', a, '  ', b, ' '), "
-                "concat(' ', a, b, ' '))").alias("ws"))
+            words.select("tok", "wc", F.replace(
+                F.col("ws"), F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} ")).alias("ws"))
             .localCheckpoint())
     return merges, words
 
@@ -116,16 +122,13 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     table; returns the merge table (merge_round, pair, merged,
     pair_count) in round order."""
     merges, _ = _train(spark, sf_dir, rounds)
-    if not merges:
-        # exhausted at round 1 (all single-character words): zero merges
-        return spark.createDataFrame(
-            [], "merge_round bigint, pair string, merged string, "
-                "pair_count bigint")
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
+    # merge rows were collected one-by-one as each round's argmax (the
+    # sequential dependency); the output table is rebuilt from them
     return (
-        out.select(
+        spark.createDataFrame(
+            merges,
+            "merge_round bigint, a string, b string, pair_count bigint")
+        .select(
             "merge_round",
             F.expr("concat(a, ' ', b)").alias("pair"),
             F.expr("concat(a, b)").alias("merged"),
