@@ -57,6 +57,14 @@ FAMILY = [
     "dedup_minhash", "dedup_lsh_pairs", "dedup_near", "dedup_clusters",
     "dedup_embedding", "ann_ivf_topk", "semdedup_scaled",
     "line_dedup", "repeated_substr",
+    # r8 (VERDICT r7 #5): the curation/LM arc — the most expensive bench
+    # queries had plan locks but no measured 10x leg; the broadcast/Bloom/
+    # count-table designs predict ~linear, prove it.  Also covers the r8
+    # optimization wave (zip-explode grams, conv md5-ints, no inferred
+    # generate filters) at ~10x the gate corpus.
+    "decontaminate", "decontaminate_bloom", "lm_score", "dsir_select",
+    "bpe_merges", "bpe_encode", "curation_funnel", "search_topk",
+    "dedup_simhash",
 ]
 
 
