@@ -282,12 +282,16 @@ process count).
 
 ### Adjudication (north rule ≥ 0.8, N → 4N)
 
-1. **Best same-window 2→8 efficiency: {eff_2_8} — PASS.**  When the
+1. **Best same-window 2→8 efficiency: {eff_2_8} —
+   {'PASS' if result['pass'] else 'FAIL'}.**  When the
    host actually delivers 4× CPU, the pipeline scales past linear
    (partition-count effects at local[2] make >1 possible).
 2. **Control-relative median (all {len(ctl_stamped)} control-stamped
-   runs): {med_rel_2_8} — PASS.**  Pipeline ÷ same-window mp-control
-   efficiency: the pipeline retains ≥0.8 of whatever 4× process-level
+   runs): {med_rel_2_8} —
+   {'PASS' if med_rel_2_8 >= 0.8 else 'FAIL'}.**  Pipeline ÷
+   same-window mp-control efficiency: the pipeline
+   {'retains' if med_rel_2_8 >= 0.8 else 'does not retain'} ≥0.8 of
+   whatever 4× process-level
    scaling the silicon offered in that exact minute.  This is the
    number the north rule can fairly ask of a job on this host.
 3. **Host ceiling, pinned by {len(ctl_stamped)} control-stamped runs:**
