@@ -299,10 +299,13 @@ process count).
    parquet-read — itself medians **{med_ctl_2_8}** per-run
    going 2→8 workers (same-window per-run ratios; >1 in a few
    windows where the 8-worker minute was quieter than the 2-worker
-   minute — further proof the variance is the host's).  The raw clean-window pipeline median
-   ({med_clean_2_8} over {len(clean_effs_2_8)} runs) sits below the 0.8
-   bar because the bar exceeds what the silicon's own embarrassingly-
-   parallel ceiling delivers in a median window; the control-relative
+   minute — further proof the variance is the host's).  The raw
+   clean-window pipeline median ({med_clean_2_8} over
+   {len(clean_effs_2_8)} runs)
+   {'meets the 0.8 bar outright' if med_clean_2_8 >= 0.8 else
+    'sits below the 0.8 bar because the bar exceeds what the '
+    "silicon's own embarrassingly-parallel ceiling delivers in a "
+    'median window'}; the control-relative
    figure (2) is the host-independent reading.
 
 Per-run details:
