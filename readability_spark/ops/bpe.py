@@ -67,7 +67,12 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
         .select("tok", "wc", F.expr(
             "concat('  ', array_join(transform(sequence(1, length(tok)), "
             "i -> substr(tok, i, 1)), '  '), '  ')").alias("ws"))
-        .localCheckpoint())
+        # r8: lazy checkpoints throughout the training loop — each
+        # round's argmax collect() is an action anyway, so it
+        # materializes (and truncates) the pending checkpoint inside the
+        # same job instead of paying a separate barrier job per round
+        # (same-window A/B: 1.84 -> 1.66 s, identical merge table)
+        .localCheckpoint(eager=False))
     merges = []
     for r in range(1, rounds + 1):
         # (loop exits early below when the pair table is exhausted; the
@@ -112,7 +117,7 @@ def _train(spark: SparkSession, sf_dir: str, rounds: int):
             words.select("tok", "wc", F.replace(
                 F.col("ws"), F.lit(f" {a}  {b} "),
                 F.lit(f" {a}{b} ")).alias("ws"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     return merges, words
 
 

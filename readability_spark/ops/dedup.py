@@ -516,16 +516,20 @@ def _connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                      F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"),
                             F.col("doc_a").alias("dst")))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # r8: seed labels with min(self, neighbors) — the first propagation
     # for free out of the same aggregation that used to be a bare
     # distinct.  Same monotone lattice, same fixed point (component
     # minima); path-shaped pairs/triangles converge at init, so the loop
     # typically runs one verification round instead of two full ones.
+    # Checkpoints in this loop are LAZY (r8): every round ends in the
+    # `changed` count action, which materializes the pending checkpoint
+    # inside the same job instead of a separate barrier job per round
+    # (the bpe-loop A/B pattern; results identical).
     labels = (edges.groupBy("src")
               .agg(F.least(F.min("dst"), F.col("src")).alias("rep"))
               .select(F.col("src").alias("doc_id"), "rep")
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     for n_rounds in range(1, _CC_MAX_ITERS + 1):
         # neighbor proposals: src's current rep offered to dst
         proposals = (labels.join(edges, labels["doc_id"] == edges["src"])
@@ -542,7 +546,7 @@ def _connected_components(pairs: DataFrame) -> tuple[DataFrame, int]:
                                   F.col("rep").alias("rep2")),
                 "rep")
             .select("doc_id", F.col("rep2").alias("rep"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
         changed = (new_labels.join(labels.withColumnRenamed("rep", "old"),
                                    "doc_id")
                    .filter(F.col("rep") != F.col("old")).limit(1).count())

@@ -89,8 +89,10 @@ def link_pagerank(spark: SparkSession, sf_dir: str,
     w = (edges
          .join(edges.groupBy("src").agg(
              F.count("*").cast("long").alias("outdeg")), "src")
-         # static across iterations: materialize once, reuse 5x
-         .localCheckpoint())
+         # static across iterations: materialized once (on first use),
+         # reused 5x.  r8: lazy — the consumer action persists it inside
+         # its own job; a separate barrier job bought nothing
+         .localCheckpoint(eager=False))
 
     ranks = docs.select(
         F.col("doc_id").alias("node"),
@@ -105,9 +107,13 @@ def link_pagerank(spark: SparkSession, sf_dir: str,
                      F.expr(f"CAST({base} + (85 * coalesce(s, "
                             f"CAST(0 AS BIGINT))) div 100 AS BIGINT)")
                      .alias("pr"))
-                 # truncate lineage: iteration i+1 reads a materialized
-                 # iteration i, not a 2^i-deep recursive plan
-                 .localCheckpoint())
+                 # truncate lineage: iteration i+1 builds on a
+                 # checkpoint-marked iteration i, not a recursive plan.
+                 # r8: lazy — all five iterations materialize inside the
+                 # final consumer action's job chain (each level persists
+                 # and truncates as it computes), dropping five per-
+                 # iteration barrier jobs; A/B 1.36 -> 1.29 s, identical
+                 .localCheckpoint(eager=False))
     return (ranks
             .select(F.col("node").alias("doc_id"),
                     F.col("pr").alias("pagerank"))
